@@ -1,0 +1,25 @@
+"""Test configuration: route all computation to a virtual 8-device CPU mesh.
+
+The axon TPU platform in this environment ignores ``JAX_PLATFORMS=cpu`` and
+forces the TPU as default backend, so instead we set the *default device* to
+a forced-host CPU device.  Multi-chip tests build meshes from
+``jax.devices('cpu')`` (8 virtual devices via xla_force_host_platform_
+device_count), per SURVEY.md §4.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
+
+
+def cpu_devices():
+    return jax.local_devices(backend="cpu")
