@@ -1,0 +1,196 @@
+"""Vectorized 256-bit modular arithmetic over BN254 p, on 16-bit limbs.
+
+TPU-native replacement for the arkworks bigint/field calls inside the
+reference's trace generators (the `ark` calls in
+/root/reference/src/starks/fields/mul.rs:22-40, curves/g1/add.rs:52-122 and
+the BigInt division in modular/modulus_zero.rs:84-91).  Everything here is
+batched: inputs are `[..., n_limbs]` int64 tensors and all per-element loops
+are unrolled static limb loops (XLA fuses them into flat vector code).
+
+Key algorithms, chosen for TPU (no division hardware, wide vectors):
+
+  * `mod_p`: Barrett reduction with mu = floor(2^512 / p); for n < 2^512
+    the estimate floor(n*mu / 2^512) is within 1 of floor(n/p), so a
+    single conditional subtract pass suffices.
+  * `exact_div_p`: Hensel-style EXACT division for multiples of p:
+    q mod 2^288 = (n mod 2^288) * (p^-1 mod 2^288), interpreted as a
+    288-bit two's-complement signed value.  Replaces the reference's
+    BigInt `/` in generate_modulus_zero (quotients there are < 2^233).
+  * `inv_mod_p`: Fermat exponentiation via lax.scan over the 254 constant
+    bits of p-2 (used via `batch_inverse` on whole trace batches).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bn254.params import P as BN254_P
+from .limbs import LIMB_BITS, LIMB_MASK, N_LIMBS, h_int_to_limbs
+from .pol import pol_mul_wide
+
+# ---------------------------------------------------------------------------
+# Constants (little-endian 16-bit limb tables, as numpy -> jit constants)
+# ---------------------------------------------------------------------------
+
+MOD_LIMBS_INT = h_int_to_limbs(BN254_P, N_LIMBS)  # [16]
+_MU_INT = (1 << 512) // BN254_P  # 259 bits -> 17 limbs
+MU_LIMBS_INT = h_int_to_limbs(_MU_INT, 17)
+_PINV_288 = pow(BN254_P, -1, 1 << 288)  # p^-1 mod 2^288 -> 18 limbs
+PINV_LIMBS_INT = h_int_to_limbs(_PINV_288, 18)
+
+_P_BITS = [(BN254_P - 2) >> i & 1 for i in range(254)]  # LSB-first bits of p-2
+
+
+def _const_row(limbs_int) -> jnp.ndarray:
+    return jnp.asarray(np.array(limbs_int, dtype=np.int64))
+
+
+def carry_prop(coeffs: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """Signed coefficient vector -> canonical limbs in [0, 2^16).
+
+    Propagates carries left-to-right for `n_out` limbs; input may be
+    shorter (treated as zero-extended).  The final carry is dropped — the
+    caller guarantees the value fits (or only the low `n_out` limbs are
+    wanted, i.e. reduction mod 2^(16*n_out)).
+    """
+    n_in = coeffs.shape[-1]
+    carry = jnp.zeros(coeffs.shape[:-1], jnp.int64)
+    limbs = []
+    for i in range(n_out):
+        c = coeffs[..., i] if i < n_in else jnp.zeros_like(carry)
+        t = c + carry
+        limb = t & LIMB_MASK
+        carry = (t - limb) >> LIMB_BITS
+        limbs.append(limb)
+    return jnp.stack(limbs, axis=-1)
+
+
+def _pol_mul_arrays(a: jnp.ndarray, b_const: list) -> jnp.ndarray:
+    """[..., na] limb tensor times a constant limb list -> [..., na+nb-1]."""
+    na = a.shape[-1]
+    nb = len(b_const)
+    out = jnp.zeros(a.shape[:-1] + (na + nb - 1,), jnp.int64)
+    for j, bj in enumerate(b_const):
+        if bj == 0:
+            continue
+        out = out.at[..., j : j + na].add(a * jnp.int64(bj))
+    return out
+
+
+def _pol_mul_aa(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[..., na] x [..., nb] -> [..., na+nb-1] coefficient product."""
+    na, nb = a.shape[-1], b.shape[-1]
+    out = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]) + (na + nb - 1,), jnp.int64)
+    for i in range(na):
+        out = out.at[..., i : i + nb].add(a[..., i : i + 1] * b)
+    return out
+
+
+def mul_full(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[..., 16] x [..., 16] canonical limbs -> [..., 32] canonical limbs."""
+    return carry_prop(_pol_mul_aa(a, b), 2 * N_LIMBS)
+
+
+def compare_ge(a: jnp.ndarray, b_const: list) -> jnp.ndarray:
+    """a >= const, lexicographic from the top limb. Returns bool [...]."""
+    n = a.shape[-1]
+    ge = jnp.ones(a.shape[:-1], bool)
+    # scan from most significant: track 'decided' and 'result'
+    result = jnp.ones(a.shape[:-1], bool)
+    decided = jnp.zeros(a.shape[:-1], bool)
+    for i in range(n - 1, -1, -1):
+        bi = int(b_const[i]) if i < len(b_const) else 0
+        gt = a[..., i] > bi
+        lt = a[..., i] < bi
+        result = jnp.where(~decided & gt, True, jnp.where(~decided & lt, False, result))
+        decided = decided | gt | lt
+    del ge
+    return result
+
+
+def sub_const_if(a: jnp.ndarray, b_const: list, cond: jnp.ndarray) -> jnp.ndarray:
+    """a - const where cond else a; canonical limbs in/out (no underflow)."""
+    coeffs = a - jnp.where(
+        cond[..., None], _const_row(b_const + [0] * (a.shape[-1] - len(b_const))), 0
+    )
+    return carry_prop(coeffs, a.shape[-1])
+
+
+def mod_p(n: jnp.ndarray) -> jnp.ndarray:
+    """[..., <=32] canonical limbs (value < 2^512) -> value mod p, 16 limbs."""
+    n32 = carry_prop(n, 32) if n.shape[-1] < 32 else n
+    # q_hat = floor(n * mu / 2^512): top 17 limbs of the 49-limb product
+    prod = carry_prop(_pol_mul_arrays(n32, MU_LIMBS_INT), 49)
+    q_hat = prod[..., 32:49]
+    # r = n - q_hat * p  (fits well under 2^272; compute mod 2^288 = 18 limbs)
+    qp = _pol_mul_arrays(q_hat, MOD_LIMBS_INT)  # [..., 32] coeffs
+    r = carry_prop(n32[..., :18] - qp[..., :18], 18)
+    # 0 <= r < 2p + p (one safety margin): subtract p up to twice
+    for _ in range(2):
+        ge = compare_ge(r, MOD_LIMBS_INT)
+        r = sub_const_if(r, MOD_LIMBS_INT, ge)
+    return r[..., :N_LIMBS]
+
+
+def mulmod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a * b) mod p on [..., 16] canonical limb tensors."""
+    return mod_p(mul_full(a, b))
+
+
+def exact_div_p(input_coeffs: jnp.ndarray):
+    """Exact signed division by p of a 31-coefficient polynomial value.
+
+    `input_coeffs[..., 31]` are signed int64 coefficients (|c| < 2^40) of a
+    value n = sum c_i 2^(16 i) that is an exact multiple of p.  Returns
+    (is_quot_positive [...], quot_abs [..., 17]) exactly as the reference's
+    generate_modulus_zero derives them (modulus_zero.rs:84-91).
+    """
+    # n mod 2^288: two's-complement limbs (carry-propagate 18 limbs)
+    n_lo = carry_prop(input_coeffs, 18)
+    # q mod 2^288 = n_lo * pinv mod 2^288
+    prod = _pol_mul_arrays(n_lo, PINV_LIMBS_INT)
+    q = carry_prop(prod[..., :18], 18)
+    # sign: |q| < 2^287, so bit 15 of limb 17 is the sign bit
+    is_neg = (q[..., 17] >> (LIMB_BITS - 1)) & 1
+    # |q|: two's-complement negate when negative
+    q_flipped = jnp.where(is_neg[..., None] == 1, LIMB_MASK - q, q)
+    q_abs = carry_prop(
+        q_flipped.at[..., 0].add(jnp.where(is_neg == 1, 1, 0)), 18
+    )
+    q_abs = jnp.where(is_neg[..., None] == 1, q_abs, q)
+    is_zero = jnp.all(q_abs == 0, axis=-1)
+    is_quot_positive = jnp.where((is_neg == 0) & ~is_zero, 1, 0).astype(jnp.int64)
+    return is_quot_positive, q_abs[..., :17]
+
+
+def inv_mod_p(a: jnp.ndarray) -> jnp.ndarray:
+    """Fermat inverse a^(p-2) mod p on [..., 16] limbs (0 -> 0).
+
+    lax.scan over the 254 constant exponent bits: one squaring plus one
+    conditional multiply per step, batched over all leading axes.
+    """
+    bits = jnp.asarray(np.array(_P_BITS, dtype=np.int64))
+    one = jnp.zeros_like(a).at[..., 0].set(1)
+
+    def step(carry, bit):
+        result, base = carry
+        mul = mulmod(result, base)
+        result = jnp.where(bit == 1, mul, result)
+        base = mulmod(base, base)
+        return (result, base), None
+
+    (result, _), _ = jax.lax.scan(step, (one, a), bits)
+    # zero-input convention: a == 0 -> 0
+    a_is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
+    return jnp.where(a_is_zero, 0, result)
+
+
+# ---------------------------------------------------------------------------
+# Host helpers for tests
+# ---------------------------------------------------------------------------
+
+
+def h_mod_p(x: int) -> int:
+    return x % BN254_P
