@@ -1,0 +1,73 @@
+"""STARK machine descriptors: lookup specs, CTL specs, machine bundle.
+
+The `Stark` bundle is the TPU-native analog of the reference's
+`starky::stark::Stark` trait implementations (lookups() / requires_ctls()
+surfaces, e.g. exp_stark.rs:478-493), consumed by the generic prover in
+`plonky2_bn254_tpu/prover/`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List, Tuple
+
+
+@dataclass(frozen=True)
+class Lookup:
+    """LogUp range-check: every value in `columns` appears in `table_col`
+    with multiplicities recorded in `freq_col` (starky Lookup equivalent)."""
+
+    columns: List[int]
+    table_col: int
+    freq_col: int
+
+
+@dataclass(frozen=True)
+class CtlSpec:
+    """One looked-table spec of a cross-table lookup with no looking tables
+    (CrossTableLookup::new(vec![], looked) — scalar_mul_ctl.rs pattern).
+
+    `columns`: list of entries ("single", col) or ("le_bits", [cols]) —
+    the evaluated tuple is bound against externally supplied CTL values.
+    """
+
+    columns: List[Tuple]
+    filter_col: int
+
+    def eval_row(self, row_values, ring):
+        """Combine a row (list of ring values) into the CTL tuple."""
+        out = []
+        for kind, spec in [(c[0], c[1]) for c in self.columns]:
+            if kind == "single":
+                out.append(row_values[spec])
+            else:  # le_bits
+                acc = None
+                for j, col in enumerate(spec):
+                    term = row_values[col].scalar_mul(1 << j)
+                    acc = term if acc is None else acc + term
+                out.append(acc)
+        return out
+
+
+@dataclass(frozen=True)
+class Stark:
+    """A STARK machine: layout + trace gen + AIR + lookup/CTL wiring."""
+
+    name: str
+    width: int
+    eval_fn: Callable  # (consumer, ring, local_vals, next_vals) -> None
+    lookups: List[Lookup]
+    ctls: List[CtlSpec]
+    constraint_degree: int = 3
+
+
+def fq_exp_stark() -> Stark:
+    from . import fq_exp
+
+    return Stark(
+        name="fq_exp",
+        width=fq_exp.LAYOUT.width,
+        eval_fn=fq_exp.eval_fq_exp,
+        lookups=fq_exp.lookups(),
+        ctls=fq_exp.ctls(),
+    )
