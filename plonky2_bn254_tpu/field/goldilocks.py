@@ -179,6 +179,7 @@ def exp_const(a, e: int):
     return result
 
 
+@jax.jit
 def inv(a):
     """a^(p-2): multiplicative inverse (0 -> 0, matching the reference's
     zero-returning convention in /root/reference/src/fields/inv.rs)."""

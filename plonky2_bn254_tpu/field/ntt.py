@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,6 +58,7 @@ def _stage_twiddles(n_log: int, inverse: bool) -> tuple:
     return tuple(tables)
 
 
+@jax.jit
 def ntt(x: jnp.ndarray) -> jnp.ndarray:
     """Forward NTT along the last axis (natural order in and out).
 
@@ -81,6 +83,7 @@ def ntt(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+@jax.jit
 def intt(x: jnp.ndarray) -> jnp.ndarray:
     """Inverse NTT along the last axis: values -> coefficients."""
     n = x.shape[-1]
@@ -124,6 +127,7 @@ def coset_lde(values: jnp.ndarray, rate_bits: int, shift: int = gl.MULTIPLICATIV
     return coset_lde_from_coeffs(coeffs, rate_bits, shift)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
 def coset_lde_from_coeffs(coeffs: jnp.ndarray, rate_bits: int, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> jnp.ndarray:
     n = coeffs.shape[-1]
     big_n = n << rate_bits

@@ -12,6 +12,7 @@ mirror (python ints) backs the sequential challenger and the verifier.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,76 +49,82 @@ def _mds_layer(state):
 
     Entries are < 64, so c*x fits in (hi, lo) u32-split products; we
     accumulate the full 128-bit row sum before one reduction per output,
-    which is cheaper than 12 modular multiplies.
+    which is cheaper than 12 modular multiplies.  Written as broadcasted
+    tensor ops (not per-element lists) to keep the jit graph small.
     """
     mask32 = jnp.uint64(0xFFFFFFFF)
-    x_lo = [state[..., j] & mask32 for j in range(WIDTH)]
-    x_hi = [state[..., j] >> jnp.uint64(32) for j in range(WIDTH)]
-    outs = []
-    for r in range(WIDTH):
-        acc_lo = None  # sum of c * x_lo  (< 12 * 64 * 2^32 < 2^42)
-        acc_hi = None  # sum of c * x_hi
-        for j in range(WIDTH):
-            c = _MDS_INT[r][j]
-            if c == 0:
-                continue
-            cj = jnp.uint64(c)
-            tl = x_lo[j] * cj
-            th = x_hi[j] * cj
-            acc_lo = tl if acc_lo is None else acc_lo + tl
-            acc_hi = th if acc_hi is None else acc_hi + th
-        # value = acc_hi * 2^32 + acc_lo, both < 2^42: 128-bit split
-        lo = acc_lo + ((acc_hi & mask32) << jnp.uint64(32))
-        carry = (lo < acc_lo).astype(jnp.uint64)
-        hi = (acc_hi >> jnp.uint64(32)) + carry
-        outs.append(gl._reduce128(hi, lo))
-    return jnp.stack(outs, axis=-1)
+    m = jnp.asarray(MDS)  # [12(out), 12(in)] small uint64 entries
+    x_lo = state & mask32
+    x_hi = state >> jnp.uint64(32)
+    # [..., out, in] products summed over the input axis; < 12*64*2^32 < 2^42
+    acc_lo = jnp.sum(x_lo[..., None, :] * m, axis=-1)
+    acc_hi = jnp.sum(x_hi[..., None, :] * m, axis=-1)
+    lo = acc_lo + ((acc_hi & mask32) << jnp.uint64(32))
+    carry = (lo < acc_lo).astype(jnp.uint64)
+    hi = (acc_hi >> jnp.uint64(32)) + carry
+    return gl._reduce128(hi, lo)
 
 
+@jax.jit
 def permute(state: jnp.ndarray) -> jnp.ndarray:
-    """Poseidon permutation on `[..., 12]` uint64 tensors."""
+    """Poseidon permutation on `[..., 12]` uint64 tensors.
+
+    Rounds run under fori_loop with the constant schedule indexed on the
+    fly, keeping the jit graph to ~3 round bodies.
+    """
     rc = jnp.asarray(_RC)
-    r = 0
-    for _ in range(_HALF_FULL):
+
+    def full_round(r, state):
         state = gl.add(state, rc[r])
         state = _sbox(state)
-        state = _mds_layer(state)
-        r += 1
-    for _ in range(PARTIAL_ROUNDS):
+        return _mds_layer(state)
+
+    def partial_round(r, state):
         state = gl.add(state, rc[r])
-        s0 = _sbox(state[..., 0])
-        state = jnp.concatenate([s0[..., None], state[..., 1:]], axis=-1)
-        state = _mds_layer(state)
-        r += 1
-    for _ in range(_HALF_FULL):
-        state = gl.add(state, rc[r])
-        state = _sbox(state)
-        state = _mds_layer(state)
-        r += 1
+        s0 = _sbox(state[..., 0:1])
+        state = jnp.concatenate([s0, state[..., 1:]], axis=-1)
+        return _mds_layer(state)
+
+    state = jax.lax.fori_loop(0, _HALF_FULL, full_round, state)
+    state = jax.lax.fori_loop(
+        _HALF_FULL, _HALF_FULL + PARTIAL_ROUNDS, partial_round, state
+    )
+    state = jax.lax.fori_loop(
+        _HALF_FULL + PARTIAL_ROUNDS, N_ROUNDS, full_round, state
+    )
     return state
 
 
+@jax.jit
 def hash_no_pad(inputs: jnp.ndarray) -> jnp.ndarray:
     """Sponge hash of `[..., n]` inputs -> `[..., 4]` digests.
 
     Overwrite-mode absorption in rate-8 chunks, zero-padded final chunk,
     zero initial capacity (fixed-length inputs, no padding scheme — the
-    plonky2 `hash_n_to_m_no_pad` shape).
+    plonky2 `hash_n_to_m_no_pad` shape).  Chunk loop is a fori_loop so the
+    graph holds ONE permutation regardless of leaf width.
     """
     n = inputs.shape[-1]
     batch = inputs.shape[:-1]
-    state = jnp.zeros(batch + (WIDTH,), jnp.uint64)
-    for start in range(0, n, SPONGE_RATE):
-        chunk = inputs[..., start : start + SPONGE_RATE]
-        c = chunk.shape[-1]
-        if c < SPONGE_RATE:
-            pad = jnp.zeros(batch + (SPONGE_RATE - c,), jnp.uint64)
-            chunk = jnp.concatenate([chunk, pad], axis=-1)
+    n_chunks = -(-n // SPONGE_RATE)
+    pad = n_chunks * SPONGE_RATE - n
+    if pad:
+        inputs = jnp.concatenate(
+            [inputs, jnp.zeros(batch + (pad,), jnp.uint64)], axis=-1
+        )
+    chunks = inputs.reshape(batch + (n_chunks, SPONGE_RATE))
+
+    def body(i, state):
+        chunk = jax.lax.dynamic_index_in_dim(chunks, i, axis=-2, keepdims=False)
         state = jnp.concatenate([chunk, state[..., SPONGE_RATE:]], axis=-1)
-        state = permute(state)
+        return permute(state)
+
+    state = jnp.zeros(batch + (WIDTH,), jnp.uint64)
+    state = jax.lax.fori_loop(0, n_chunks, body, state)
     return state[..., :DIGEST_LEN]
 
 
+@jax.jit
 def two_to_one(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
     """Merkle node compression: two `[..., 4]` digests -> `[..., 4]`."""
     batch = left.shape[:-1]

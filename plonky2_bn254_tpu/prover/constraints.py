@@ -1,0 +1,137 @@
+"""Shared constraint system: AIR + LogUp lookups + CTL bindings.
+
+This single evaluation path is consumed by the prover (GL ring over the LDE
+domain) and the native verifier (extension scalars at zeta) — the rebuild of
+the reference fork's starky lookup/CTL constraint logic (SURVEY.md L0-fork:
+`Lookup` LogUp range checks, `CrossTableLookup` with extra looking sums).
+
+Protocol (per challenge set i with scalars beta_i, gamma_i):
+
+  Lookup (range check):
+    helper h_k = 1/(gamma+c_{2k}) + 1/(gamma+c_{2k+1})   (pairs; odd tail:
+    h = 1/(gamma+c)); helper well-formedness is a degree-3 constraint.
+    Z = reversed running sum of (sum_k h_k - freq/(gamma+table));
+    Z(first row) = 0 proves  sum 1/(gamma+c) = sum freq/(gamma+table).
+
+  CTL (no looking tables, extra looking sums — scalar_mul_ctl.rs pattern):
+    combine(row) = gamma + sum_j beta^j col_j ;
+    Z = reversed running sum of filter/combine ;
+    Z(first row) = total, where total = sum over externally supplied CTL
+    value tuples v of 1/(gamma + sum_j beta^j v_j) — the verifier recomputes
+    `total` from the CTL values, binding trace I/O to circuit values.
+
+Aux column order (per challenge set, sets concatenated):
+  [lookup helpers..., lookup Z] per lookup, then [ctl Z] per CTL.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from ..field import goldilocks as gl
+from ..starks.table import Stark
+
+
+def aux_width(stark: Stark, num_challenges: int) -> int:
+    per = 0
+    for lk in stark.lookups:
+        per += (len(lk.columns) + 1) // 2 + 1
+    per += len(stark.ctls)
+    return per * num_challenges
+
+
+def helper_count(lookup) -> int:
+    return (len(lookup.columns) + 1) // 2
+
+
+def ctl_total(ctl_values_rows: List[List[int]], beta: int, gamma: int) -> int:
+    """Host: extra looking sum for one CTL and one challenge set."""
+    total = 0
+    for row in ctl_values_rows:
+        acc = gamma
+        b = 1
+        for v in row:
+            acc = (acc + b * v) % gl.P
+            b = b * beta % gl.P
+        total = (total + gl.h_inv(acc)) % gl.P
+    return total % gl.P
+
+
+def eval_lookup_ctl_constraints(
+    consumer,
+    ring,
+    stark: Stark,
+    local,
+    next_,
+    aux_local,
+    aux_next,
+    challenges,
+    ctl_totals,
+):
+    """Append lookup/CTL constraints (order must match aux generation).
+
+    `challenges`: list of (beta, gamma) python ints; `ctl_totals[i][c]`:
+    python ints.  `local`/`aux_local` etc are lists of ring values.
+    """
+    for i, (beta, gamma) in enumerate(challenges):
+        off = i * (aux_width(stark, 1))
+        gamma_v = ring.const(gamma)
+        one = ring.one()
+        for lk in stark.lookups:
+            n_h = helper_count(lk)
+            helpers = aux_local[off : off + n_h]
+            z_loc = aux_local[off + n_h]
+            z_next = aux_next[off + n_h]
+            # helper well-formedness
+            for k in range(n_h):
+                c1 = local[lk.columns[2 * k]]
+                if 2 * k + 1 < len(lk.columns):
+                    c2 = local[lk.columns[2 * k + 1]]
+                    t1 = gamma_v + c1
+                    t2 = gamma_v + c2
+                    consumer.constraint(helpers[k] * t1 * t2 - t1 - t2)
+                else:
+                    consumer.constraint(helpers[k] * (gamma_v + c1) - one)
+            # Z recurrence (backwards sum)
+            table = gamma_v + local[lk.table_col]
+            freq = local[lk.freq_col]
+            h_sum = helpers[0]
+            for h in helpers[1:]:
+                h_sum = h_sum + h
+            consumer.constraint_transition(
+                (z_loc - z_next - h_sum) * table + freq
+            )
+            consumer.constraint_last_row((z_loc - h_sum) * table + freq)
+            consumer.constraint_first_row(z_loc)
+            off += n_h + 1
+        for c_idx, ctl in enumerate(stark.ctls):
+            z_loc = aux_local[off]
+            z_next = aux_next[off]
+            combined = ctl.eval_row(local, ring)
+            acc = gamma_v
+            b_pow = 1
+            for v in combined:
+                acc = acc + v.scalar_mul(b_pow)
+                b_pow = b_pow * beta % gl.P
+            filt = local[ctl.filter_col]
+            consumer.constraint_transition((z_loc - z_next) * acc - filt)
+            consumer.constraint_last_row(z_loc * acc - filt)
+            consumer.constraint_first_row(z_loc - ring.const(ctl_totals[i][c_idx]))
+            off += 1
+
+
+def eval_all_constraints(
+    consumer,
+    ring,
+    stark: Stark,
+    local,
+    next_,
+    aux_local,
+    aux_next,
+    challenges,
+    ctl_totals,
+):
+    stark.eval_fn(consumer, ring, local, next_)
+    eval_lookup_ctl_constraints(
+        consumer, ring, stark, local, next_, aux_local, aux_next, challenges, ctl_totals
+    )

@@ -1,0 +1,315 @@
+"""Batch FRI: commit/fold on device, query openings, host verification.
+
+Rebuild of the FRI stack the reference gets from its plonky2 fork
+(SURVEY.md §3.3 HOT LOOP 3 tail).  The FRI oracle is an extension-field
+polynomial given by its values on the LDE coset (natural order); Merkle
+leaves group the 2^arity_bits sibling values (bit-reversed order makes
+fold fibers contiguous).
+
+Fold (arity A = 2^a): for fiber {x*w^t} over y = x^A with values v_t,
+interpolate q = iNTT_A(v) and emit q(beta/x) = sum_j q_j beta^j x^-j.
+On device this is one batched size-A iNTT + weighted sum per layer.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import goldilocks as gl
+from ..field import ntt
+from ..field.extension import Ext, GLExt
+from ..field.poseidon import h_permute
+from .config import StarkConfig
+from .merkle import MerkleTree, build_tree
+from .poly_batch import bit_rev_perm
+
+
+@dataclass
+class FriLayerProof:
+    group_values: np.ndarray  # [A, 2] uint64 (c0, c1 per value)
+    path: List[np.ndarray]
+
+
+@dataclass
+class FriQueryProof:
+    initial_leaves: List[np.ndarray]  # per batch: [n_polys] uint64 leaf row
+    initial_paths: List[List[np.ndarray]]
+    layers: List[FriLayerProof]
+
+
+@dataclass
+class FriProof:
+    layer_caps: List[np.ndarray]
+    final_coeffs: List[GLExt]
+    pow_nonce: int
+    queries: List[FriQueryProof]
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_point_pows(m_log: int, a_bits: int, shift: int):
+    """x_i^-j tables for one fold layer: [A, M/A] numpy uint64.
+
+    Layer domain = shift * <g> with |.| = M = 2^m_log; fiber base points
+    x_i = shift * g^i for i < M/A; entry [j, i] = x_i^-j.
+    """
+    M = 1 << m_log
+    A = 1 << a_bits
+    g = gl.primitive_root_of_unity(m_log)
+    g_inv = gl.h_inv(g)
+    shift_inv = gl.h_inv(shift)
+    base = np.empty(M // A, dtype=np.uint64)
+    cur = shift_inv
+    for i in range(M // A):
+        base[i] = cur
+        cur = cur * g_inv % gl.P
+    out = np.empty((A, M // A), dtype=np.uint64)
+    out[0] = 1
+    row = np.ones(M // A, dtype=object)
+    for j in range(1, A):
+        row = row * base.astype(object) % gl.P
+        out[j] = row.astype(np.uint64)
+    return out
+
+
+def fold_layer(values: Ext, m_log: int, a_bits: int, shift: int, beta: GLExt) -> Ext:
+    """One fold: Ext values [M] natural order -> Ext values [M/A]."""
+    M = 1 << m_log
+    A = 1 << a_bits
+    v0 = values.c0.reshape(A, M // A)
+    v1 = values.c1.reshape(A, M // A)
+    # iNTT of size A along axis 0 (transpose to last axis)
+    d0 = ntt.intt(v0.T).T  # [A, M/A] coefficients
+    d1 = ntt.intt(v1.T).T
+    inv_pows = jnp.asarray(_inv_point_pows(m_log, a_bits, shift))
+    acc = Ext.zero((M // A,))
+    beta_pow = GLExt.one()
+    for j in range(A):
+        term = Ext(gl.mul(d0[j], inv_pows[j]), gl.mul(d1[j], inv_pows[j]))
+        acc = acc + ext_scale_const(term, beta_pow)
+        beta_pow = beta_pow * beta
+    return acc
+
+
+def ext_scale_const(v: Ext, k: GLExt) -> Ext:
+    """Ext tensor times a scalar GLExt constant: (v0 k0 + 7 v1 k1, v0 k1 + v1 k0)."""
+    k0 = jnp.uint64(k.c0)
+    k1 = jnp.uint64(k.c1)
+    k1w = jnp.uint64(7 * k.c1 % gl.P)
+    return Ext(
+        gl.add(gl.mul(v.c0, k0), gl.mul(v.c1, k1w)),
+        gl.add(gl.mul(v.c0, k1), gl.mul(v.c1, k0)),
+    )
+
+
+def _ext_leaves(values: Ext, m_log: int, a_bits: int) -> jnp.ndarray:
+    """Bit-rev group leaves: [M/A, 2A] uint64 rows (c0,c1 interleaved)."""
+    M = 1 << m_log
+    A = 1 << a_bits
+    perm = jnp.asarray(bit_rev_perm(m_log))
+    c0 = values.c0[perm].reshape(M // A, A)
+    c1 = values.c1[perm].reshape(M // A, A)
+    return jnp.stack([c0, c1], axis=-1).reshape(M // A, 2 * A)
+
+
+def pow_grind(challenger, pow_bits: int) -> int:
+    """Find nonce whose challenge has pow_bits leading zero bits (device)."""
+    from ..field import poseidon
+
+    state = list(challenger.state)
+    batch = 1 << max(pow_bits + 2, 12)
+    start = 0
+    while True:
+        nonces = np.arange(start, start + batch, dtype=np.uint64)
+        states = np.tile(np.array(state, dtype=np.uint64), (batch, 1))
+        states[:, 0] = nonces
+        out = np.asarray(poseidon.permute(jnp.asarray(states)))
+        ok = out[:, 7] >> np.uint64(64 - pow_bits) == 0
+        idx = np.nonzero(ok)[0]
+        if len(idx):
+            return int(nonces[idx[0]])
+        start += batch
+
+
+def pow_check(challenger, nonce: int, pow_bits: int) -> bool:
+    c = challenger.fork()
+    c.observe_element(nonce % gl.P)
+    val = c.get_challenge()
+    return (val >> (64 - pow_bits)) == 0
+
+
+def domain_shifts_and_sizes(n_log: int, config: StarkConfig):
+    """[(m_log, shift)] per fold layer, and the final domain params."""
+    out = []
+    m_log = n_log + config.rate_bits
+    shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
+    degree_bits = n_log
+    while degree_bits > config.final_poly_degree_bits:
+        a = min(config.arity_bits, degree_bits - config.final_poly_degree_bits)
+        out.append((m_log, shift, a))
+        shift = pow(shift, 1 << a, gl.P)
+        m_log -= a
+        degree_bits -= a
+    return out, (m_log, shift, degree_bits)
+
+
+def prove_fri(values: Ext, n_log: int, config: StarkConfig, challenger):
+    """FRI prove for one ext-valued oracle on the LDE coset (natural order).
+
+    Returns (FriProof, layer data kept for query extraction).
+    """
+    layers_cfg, (final_m_log, final_shift, final_deg_bits) = domain_shifts_and_sizes(
+        n_log, config
+    )
+    layer_values = [values]
+    trees: List[MerkleTree] = []
+    caps = []
+    betas = []
+    for m_log, shift, a in layers_cfg:
+        v = layer_values[-1]
+        cap_h = min(config.cap_height, m_log - a)
+        tree = build_tree(_ext_leaves(v, m_log, a), cap_h)
+        trees.append(tree)
+        caps.append(tree.cap)
+        challenger.observe_cap(tree.cap)
+        beta = challenger.get_extension_challenge()
+        betas.append(beta)
+        layer_values.append(fold_layer(v, m_log, a, shift, beta))
+
+    # final polynomial: coefficients of the last layer (coset iNTT)
+    last = layer_values[-1]
+    c0 = ntt.intt(last.c0)
+    c1 = ntt.intt(last.c1)
+    shift_inv_pows = np.empty(1 << final_m_log, dtype=np.uint64)
+    cur = 1
+    sinv = gl.h_inv(final_shift)
+    for i in range(1 << final_m_log):
+        shift_inv_pows[i] = cur
+        cur = cur * sinv % gl.P
+    sp = jnp.asarray(shift_inv_pows)
+    c0 = np.asarray(gl.mul(c0, sp))
+    c1 = np.asarray(gl.mul(c1, sp))
+    n_final = 1 << final_deg_bits
+    final_coeffs = [GLExt(int(c0[i]), int(c1[i])) for i in range(n_final)]
+    for fc in final_coeffs:
+        challenger.observe_extension(fc)
+
+    nonce = pow_grind(challenger, config.proof_of_work_bits)
+    challenger.observe_element(nonce % gl.P)
+    assert (challenger.get_challenge() >> (64 - config.proof_of_work_bits)) == 0
+
+    big_n = 1 << (n_log + config.rate_bits)
+    query_indices = [
+        challenger.get_challenge() % big_n for _ in range(config.num_query_rounds)
+    ]
+
+    # gather per-layer leaf rows on host
+    host_layers = []
+    for (m_log, shift, a), v in zip(layers_cfg, layer_values[:-1]):
+        host_layers.append(np.asarray(_ext_leaves(v, m_log, a)))
+
+    queries = []
+    for idx in query_indices:
+        layer_proofs = []
+        r = idx
+        for li, (m_log, shift, a) in enumerate(layers_cfg):
+            A = 1 << a
+            group = r >> a
+            row = host_layers[li][group].reshape(A, 2)
+            layer_proofs.append(
+                FriLayerProof(group_values=row, path=trees[li].prove(group))
+            )
+            r = group
+        queries.append(layer_proofs)
+
+    proof = FriProof(
+        layer_caps=caps, final_coeffs=final_coeffs, pow_nonce=nonce, queries=None
+    )
+    return proof, query_indices, queries
+
+
+# ---------------------------------------------------------------------------
+# Host verification helpers
+# ---------------------------------------------------------------------------
+
+
+def h_fold_group(group_values, x_base: int, beta: GLExt, a_bits: int) -> GLExt:
+    """Host fold of one fiber: values in bit-rev t-order at points
+    x_base * w^t -> folded value at x_base^A."""
+    A = 1 << a_bits
+    rev = bit_rev_perm(a_bits)
+    vals_nat = [None] * A
+    for j in range(A):
+        c0, c1 = int(group_values[j][0]), int(group_values[j][1])
+        vals_nat[int(rev[j])] = GLExt(c0, c1)
+    # iNTT of size A over w-powers (host)
+    w_inv = gl.h_inv(gl.primitive_root_of_unity(a_bits))
+    n_inv = gl.h_inv(A)
+    coeffs = []
+    for j in range(A):
+        acc = GLExt.zero()
+        wp = 1
+        step = pow(w_inv, j, gl.P)
+        for t in range(A):
+            acc = acc + vals_nat[t].scalar_mul(wp)
+            wp = wp * step % gl.P
+        coeffs.append(acc.scalar_mul(n_inv))
+    x_inv = gl.h_inv(x_base)
+    acc = GLExt.zero()
+    cur = GLExt.one()
+    for j in range(A):
+        acc = acc + coeffs[j] * cur
+        cur = cur * beta.scalar_mul(x_inv)
+    return acc
+
+
+def verify_fri_query(
+    proof: FriProof,
+    betas,
+    idx: int,
+    f_at_idx: GLExt,
+    n_log: int,
+    config: StarkConfig,
+    query: List[FriLayerProof],
+) -> bool:
+    """Check one query path: layer consistency down to the final poly."""
+    from .merkle import MerkleTree as MT
+    from ..field import poseidon
+
+    layers_cfg, (final_m_log, final_shift, final_deg_bits) = domain_shifts_and_sizes(
+        n_log, config
+    )
+    r = idx
+    cur_val = f_at_idx
+    for li, (m_log, shift, a) in enumerate(layers_cfg):
+        A = 1 << a
+        group = r >> a
+        offset = r & (A - 1)
+        lp = query[li]
+        got = GLExt(int(lp.group_values[offset][0]), int(lp.group_values[offset][1]))
+        if got != cur_val:
+            return False
+        # Merkle check
+        leaf = [int(v) for pair in lp.group_values for v in pair]
+        digest = poseidon.h_hash_no_pad(leaf)
+        if not MT.verify(digest, group, lp.path, proof.layer_caps[li]):
+            return False
+        # fold
+        M = 1 << m_log
+        g = gl.primitive_root_of_unity(m_log)
+        i_nat = int(bit_rev_perm(m_log - a)[group])
+        x_base = shift * pow(g, i_nat, gl.P) % gl.P
+        cur_val = h_fold_group(lp.group_values, x_base, betas[li], a)
+        r = group
+    # final polynomial evaluation at the final-layer point
+    y_nat = int(bit_rev_perm(final_m_log)[r])
+    g = gl.primitive_root_of_unity(final_m_log)
+    y = final_shift * pow(g, y_nat, gl.P) % gl.P
+    acc = GLExt.zero()
+    for c in reversed(proof.final_coeffs):
+        acc = acc.scalar_mul(y) + c
+    return acc == cur_val

@@ -1,0 +1,68 @@
+"""Poseidon Merkle tree with cap, built level-batched on device.
+
+TPU-native replacement for the Merkle commitment inside the reference's
+`PolynomialBatch::from_values` (fork; call site common/prover.rs:31-38).
+Leaf hashing vectorizes the whole leaf batch through one sponge program;
+every tree level is one batched two_to_one call.  Levels are pulled to host
+numpy once per tree for the query phase (random access).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import poseidon
+
+
+@dataclass
+class MerkleTree:
+    """levels[0] = leaf digests [N, 4]; levels[-1] = cap [2^cap_height, 4]."""
+
+    levels: List[np.ndarray]
+
+    @property
+    def cap(self) -> np.ndarray:
+        return self.levels[-1]
+
+    def prove(self, index: int) -> List[np.ndarray]:
+        """Sibling digests from leaf level up to (excluding) the cap."""
+        path = []
+        for level in self.levels[:-1]:
+            path.append(level[index ^ 1])
+            index >>= 1
+        return path
+
+    @staticmethod
+    def verify(leaf_digest, index: int, path, cap) -> bool:
+        h = [int(x) for x in leaf_digest]
+        for sib in path:
+            s = [int(x) for x in sib]
+            if index & 1:
+                h = poseidon.h_two_to_one(s, h)
+            else:
+                h = poseidon.h_two_to_one(h, s)
+            index >>= 1
+        return h == [int(x) for x in cap[index]]
+
+
+def hash_leaves(leaves: jnp.ndarray) -> jnp.ndarray:
+    """[N, L] uint64 -> [N, 4] digests (device)."""
+    return poseidon.hash_no_pad(leaves)
+
+
+def build_tree(leaves: jnp.ndarray, cap_height: int) -> MerkleTree:
+    """[N, L] uint64 leaf rows -> MerkleTree with 2^cap_height cap."""
+    n = leaves.shape[0]
+    n_levels = (n.bit_length() - 1) - cap_height
+    assert n_levels >= 0, "cap larger than tree"
+    digests = hash_leaves(leaves)
+    levels = [digests]
+    for _ in range(n_levels):
+        digests = poseidon.two_to_one(digests[0::2], digests[1::2])
+        levels.append(digests)
+    return MerkleTree(levels=[np.asarray(jax.device_get(l)) for l in levels])

@@ -22,6 +22,8 @@ Key algorithms, chosen for TPU (no division hardware, wide vectors):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,6 +49,7 @@ def _const_row(limbs_int) -> jnp.ndarray:
     return jnp.asarray(np.array(limbs_int, dtype=np.int64))
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def carry_prop(coeffs: jnp.ndarray, n_out: int) -> jnp.ndarray:
     """Signed coefficient vector -> canonical limbs in [0, 2^16).
 
@@ -88,6 +91,7 @@ def _pol_mul_aa(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+@jax.jit
 def mul_full(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """[..., 16] x [..., 16] canonical limbs -> [..., 32] canonical limbs."""
     return carry_prop(_pol_mul_aa(a, b), 2 * N_LIMBS)
@@ -118,6 +122,7 @@ def sub_const_if(a: jnp.ndarray, b_const: list, cond: jnp.ndarray) -> jnp.ndarra
     return carry_prop(coeffs, a.shape[-1])
 
 
+@jax.jit
 def mod_p(n: jnp.ndarray) -> jnp.ndarray:
     """[..., <=32] canonical limbs (value < 2^512) -> value mod p, 16 limbs."""
     n32 = carry_prop(n, 32) if n.shape[-1] < 32 else n
@@ -134,11 +139,13 @@ def mod_p(n: jnp.ndarray) -> jnp.ndarray:
     return r[..., :N_LIMBS]
 
 
+@jax.jit
 def mulmod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a * b) mod p on [..., 16] canonical limb tensors."""
     return mod_p(mul_full(a, b))
 
 
+@jax.jit
 def exact_div_p(input_coeffs: jnp.ndarray):
     """Exact signed division by p of a 31-coefficient polynomial value.
 
@@ -165,6 +172,7 @@ def exact_div_p(input_coeffs: jnp.ndarray):
     return is_quot_positive, q_abs[..., :17]
 
 
+@jax.jit
 def inv_mod_p(a: jnp.ndarray) -> jnp.ndarray:
     """Fermat inverse a^(p-2) mod p on [..., 16] limbs (0 -> 0).
 

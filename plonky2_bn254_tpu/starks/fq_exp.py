@@ -50,6 +50,7 @@ FREQ_COL = LAYOUT.col("frequency")
 RANGE_COUNTER_COL = LAYOUT.col("range_counter")
 
 
+@jax.jit
 def generate_trace_core(x_limbs: jnp.ndarray, s_bits: jnp.ndarray, timestamps: jnp.ndarray):
     """Jittable core: [n,16] x limbs, [n,256] scalar bits, [n] timestamps ->
     [n*512, 427] uint64 trace rows (without range-check columns)."""
@@ -123,6 +124,7 @@ def generate_trace_core(x_limbs: jnp.ndarray, s_bits: jnp.ndarray, timestamps: j
     return per_op.astype(jnp.uint64)
 
 
+@jax.jit
 def add_range_checks(rows: jnp.ndarray) -> jnp.ndarray:
     """Fill range_counter and frequency columns (exp_stark.rs:69-85)."""
     num_rows = rows.shape[0]

@@ -23,3 +23,13 @@ jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
 
 def cpu_devices():
     return jax.local_devices(backend="cpu")
+
+# Persistent XLA compilation cache: eager-mode prover code compiles many
+# small kernels; cache them across test processes.
+import pathlib
+
+_cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+_cache_dir.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

@@ -1,0 +1,88 @@
+"""End-to-end prove/verify pipeline shakedown on a tiny toy STARK.
+
+Exercises every prover subsystem (commit, LogUp lookup, CTL binding,
+quotient, openings, batch FRI, PoW) in milliseconds before the full-width
+machines run — the micro-STARK harness pattern of SURVEY.md §4.4.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from plonky2_bn254_tpu.field import goldilocks as gl
+from plonky2_bn254_tpu.prover import prove as prove_mod
+from plonky2_bn254_tpu.prover import verify as verify_mod
+from plonky2_bn254_tpu.prover.config import TEST_CONFIG
+from plonky2_bn254_tpu.starks.air import eval_eq
+from plonky2_bn254_tpu.starks.table import CtlSpec, Lookup, Stark
+
+N_ROWS = 256
+N_CTL = 10
+
+
+def toy_eval(consumer, ring, local, next_):
+    v, double, filt, freq, counter = local
+    nv, nd, nf, nfr, ncounter = next_
+    consumer.constraint(double - v - v)
+    diff = ncounter - counter
+    consumer.constraint_transition(diff * diff - diff)
+    consumer.constraint_last_row(counter - ring.const(N_ROWS - 1))
+    # filter is boolean
+    consumer.constraint(filt * filt - filt)
+
+
+def toy_stark() -> Stark:
+    return Stark(
+        name="toy",
+        width=5,
+        eval_fn=toy_eval,
+        lookups=[Lookup(columns=[0], table_col=4, freq_col=3)],
+        ctls=[CtlSpec(columns=[("single", 0), ("single", 1)], filter_col=2)],
+    )
+
+
+def toy_trace(rng):
+    v = rng.integers(0, N_ROWS, size=N_ROWS).astype(np.uint64)
+    double = (2 * v.astype(object) % gl.P).astype(np.uint64)
+    filt = np.zeros(N_ROWS, dtype=np.uint64)
+    filt[:N_CTL] = 1
+    freq = np.bincount(v.astype(np.int64), minlength=N_ROWS).astype(np.uint64)
+    counter = np.arange(N_ROWS, dtype=np.uint64)
+    rows = np.stack([v, double, filt, freq, counter], axis=1)
+    ctl_values = {0: [[int(v[i]), int(double[i])] for i in range(N_CTL)]}
+    return jnp.asarray(rows), ctl_values
+
+
+def test_toy_roundtrip():
+    rng = np.random.default_rng(11)
+    stark = toy_stark()
+    trace, ctl_values = toy_trace(rng)
+    proof = prove_mod.prove(stark, trace, ctl_values, TEST_CONFIG)
+    verify_mod.verify(stark, proof, ctl_values, TEST_CONFIG)
+
+
+def test_toy_rejects_corruption():
+    rng = np.random.default_rng(12)
+    stark = toy_stark()
+    trace, ctl_values = toy_trace(rng)
+
+    # corrupt a trace cell: double != 2v on one row
+    bad = trace.at[17, 1].add(1)
+    proof = prove_mod.prove(stark, bad, ctl_values, TEST_CONFIG)
+    with pytest.raises(verify_mod.VerificationError):
+        verify_mod.verify(stark, proof, ctl_values, TEST_CONFIG)
+
+    # wrong CTL values (claimed I/O doesn't match the trace)
+    proof2 = prove_mod.prove(stark, trace, ctl_values, TEST_CONFIG)
+    bad_ctl = {0: [list(row) for row in ctl_values[0]]}
+    bad_ctl[0][0][0] = (bad_ctl[0][0][0] + 1) % gl.P
+    with pytest.raises(verify_mod.VerificationError):
+        verify_mod.verify(stark, proof2, bad_ctl, TEST_CONFIG)
+
+    # tampered opening value
+    proof3 = prove_mod.prove(stark, trace, ctl_values, TEST_CONFIG)
+    from plonky2_bn254_tpu.field.extension import GLExt
+
+    proof3.openings.trace_zeta[0] = proof3.openings.trace_zeta[0] + GLExt(1)
+    with pytest.raises(verify_mod.VerificationError):
+        verify_mod.verify(stark, proof3, ctl_values, TEST_CONFIG)
