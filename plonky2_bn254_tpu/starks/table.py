@@ -71,3 +71,15 @@ def fq_exp_stark() -> Stark:
         lookups=fq_exp.lookups(),
         ctls=fq_exp.ctls(),
     )
+
+
+def g1_scalar_mul_stark() -> Stark:
+    from . import g1_scalar_mul as g1
+
+    return Stark(
+        name="g1_scalar_mul",
+        width=g1.LAYOUT.width,
+        eval_fn=g1.eval_g1_scalar_mul,
+        lookups=g1.lookups(),
+        ctls=g1.ctls(),
+    )
