@@ -1,0 +1,292 @@
+"""Circuit builder: targets, constraints, generators, hooks.
+
+Rebuild of the circuit-side machinery the reference gets from plonky2
+(SURVEY.md L0-fork: `CircuitBuilder`, virtual targets, `SimpleGenerator`
+fixpoint, `BuilderHook` deferred constraints — /root/reference/src/hook.rs,
+builder.rs).
+
+Round-1 scope: the builder records Goldilocks-arithmetic constraints and
+witness generators; `build()` runs deferred hooks (the BN254 batch-STARK
+emission) and returns a `Circuit` whose `prove()` runs the generator
+fixpoint, CHECKS every constraint on the witness, and produces the batched
+STARK proofs for the recorded BN254 ops.  The outer PLONK+FRI SNARK that
+wraps the witness (and the in-circuit recursive STARK verifier) is the
+deferred stage-8 chunk of SURVEY.md §7 — the constraint system is recorded
+in a gate-friendly normal form so that stage can reuse it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+from ..field import goldilocks as gl
+
+
+class Target:
+    """A wire: index into the witness vector."""
+
+    __slots__ = ("index",)
+
+    def __init__(self, index: int):
+        self.index = index
+
+    def __repr__(self):
+        return f"t{self.index}"
+
+    def __eq__(self, o):
+        return isinstance(o, Target) and o.index == self.index
+
+    def __hash__(self):
+        return hash(("t", self.index))
+
+
+@dataclass
+class Constraint:
+    """sum of monomials == 0; monomial = (coeff, [target indices])."""
+
+    monomials: List[Tuple[int, List[int]]]
+    tag: str = ""
+
+    def eval(self, witness) -> int:
+        acc = 0
+        for coeff, idxs in self.monomials:
+            term = coeff
+            for i in idxs:
+                term = term * witness[i] % gl.P
+            acc += term
+        return acc % gl.P
+
+
+@dataclass
+class Generator:
+    """Witness generator: when all `deps` are known, compute `outputs`."""
+
+    deps: List[int]
+    outputs: List[int]
+    run: Callable  # (witness dict) -> {index: value}
+    name: str = ""
+
+
+class Witness:
+    """Partial witness assignment."""
+
+    def __init__(self):
+        self.values: Dict[int, int] = {}
+
+    def set_target(self, t: Target, value: int):
+        value %= gl.P
+        old = self.values.get(t.index)
+        if old is not None and old != value:
+            raise ValueError(f"conflicting witness for {t}: {old} vs {value}")
+        self.values[t.index] = value
+
+    def try_get(self, t: Target) -> Optional[int]:
+        return self.values.get(t.index)
+
+    def get(self, t: Target) -> int:
+        return self.values[t.index]
+
+
+class CircuitBuilder:
+    def __init__(self):
+        self.num_targets = 0
+        self.constraints: List[Constraint] = []
+        self.generators: List[Generator] = []
+        self.constants: Dict[int, Target] = {}
+        self.hooks: Dict[str, object] = {}
+        self._built = False
+
+    # -- targets ---------------------------------------------------------
+
+    def add_virtual_target(self) -> Target:
+        t = Target(self.num_targets)
+        self.num_targets += 1
+        return t
+
+    def add_virtual_targets(self, n: int) -> List[Target]:
+        return [self.add_virtual_target() for _ in range(n)]
+
+    def constant(self, value: int) -> Target:
+        value %= gl.P
+        if value not in self.constants:
+            t = self.add_virtual_target()
+            self.constraints.append(
+                Constraint([(1, [t.index]), (-value % gl.P, [])], tag="const")
+            )
+            self.generators.append(
+                Generator([], [t.index], lambda w, t=t, v=value: {t.index: v})
+            )
+            self.constants[value] = t
+        return self.constants[value]
+
+    def zero(self) -> Target:
+        return self.constant(0)
+
+    def one(self) -> Target:
+        return self.constant(1)
+
+    # -- arithmetic ------------------------------------------------------
+
+    def add(self, a: Target, b: Target) -> Target:
+        return self._arith([(1, [a.index]), (1, [b.index])], "add", [a, b])
+
+    def sub(self, a: Target, b: Target) -> Target:
+        return self._arith([(1, [a.index]), (gl.P - 1, [b.index])], "sub", [a, b])
+
+    def mul(self, a: Target, b: Target) -> Target:
+        return self._arith([(1, [a.index, b.index])], "mul", [a, b])
+
+    def mul_const(self, c: int, a: Target) -> Target:
+        return self._arith([(c % gl.P, [a.index])], "mul_const", [a])
+
+    def mul_add(self, a: Target, b: Target, c: Target) -> Target:
+        """a*b + c"""
+        return self._arith(
+            [(1, [a.index, b.index]), (1, [c.index])], "mul_add", [a, b, c]
+        )
+
+    def _arith(self, monomials, tag, deps: List[Target]) -> Target:
+        out = self.add_virtual_target()
+        self.constraints.append(
+            Constraint(monomials + [(gl.P - 1, [out.index])], tag=tag)
+        )
+
+        def run(w, monomials=monomials, out=out):
+            acc = 0
+            for coeff, idxs in monomials:
+                term = coeff
+                for i in idxs:
+                    term = term * w[i] % gl.P
+                acc += term
+            return {out.index: acc % gl.P}
+
+        self.generators.append(
+            Generator([d.index for d in deps], [out.index], run, tag)
+        )
+        return out
+
+    # -- constraints -----------------------------------------------------
+
+    def assert_zero(self, t: Target):
+        self.constraints.append(Constraint([(1, [t.index])], tag="assert_zero"))
+
+    def connect(self, a: Target, b: Target):
+        self.constraints.append(
+            Constraint([(1, [a.index]), (gl.P - 1, [b.index])], tag="connect")
+        )
+        # propagate witness values in either direction
+        self.generators.append(
+            Generator([a.index], [b.index], lambda w, a=a, b=b: {b.index: w[a.index]})
+        )
+
+    def assert_bool(self, t: Target):
+        self.constraints.append(
+            Constraint([(1, [t.index, t.index]), (gl.P - 1, [t.index])], tag="bool")
+        )
+
+    def select(self, flag: Target, a: Target, b: Target) -> Target:
+        """flag ? a : b  (flag boolean)."""
+        # out = flag*a + (1-flag)*b = flag*(a-b) + b
+        out = self.add_virtual_target()
+        self.constraints.append(
+            Constraint(
+                [
+                    (1, [flag.index, a.index]),
+                    (gl.P - 1, [flag.index, b.index]),
+                    (1, [b.index]),
+                    (gl.P - 1, [out.index]),
+                ],
+                tag="select",
+            )
+        )
+        self.generators.append(
+            Generator(
+                [flag.index, a.index, b.index],
+                [out.index],
+                lambda w, f=flag, a=a, b=b, o=out: {
+                    o.index: w[a.index] if w[f.index] else w[b.index]
+                },
+            )
+        )
+        return out
+
+    def add_generator(self, gen: Generator):
+        self.generators.append(gen)
+
+    # -- hooks (deferred constraint emission; reference hook.rs) ---------
+
+    def get_hook(self, key: str, factory):
+        if key not in self.hooks:
+            self.hooks[key] = factory()
+        return self.hooks[key]
+
+    # -- build -----------------------------------------------------------
+
+    def build(self) -> "Circuit":
+        assert not self._built
+        self._built = True
+        for hook in self.hooks.values():
+            hook.constrain(self)
+        return Circuit(self)
+
+
+class Circuit:
+    def __init__(self, builder: CircuitBuilder):
+        self.builder = builder
+
+    def generate_witness(self, pw: Witness) -> Dict[int, int]:
+        """Run the generator fixpoint (reference: plonky2 generate_partial_witness)."""
+        values = dict(pw.values)
+        pending = list(self.builder.generators)
+        progress = True
+        while pending and progress:
+            progress = False
+            still = []
+            for gen in pending:
+                if all(d in values for d in gen.deps):
+                    out = gen.run(values)
+                    for k, v in out.items():
+                        v %= gl.P
+                        if k in values and values[k] != v:
+                            raise ValueError(
+                                f"generator {gen.name} conflicts at t{k}: "
+                                f"{values[k]} vs {v}"
+                            )
+                        values[k] = v
+                    progress = True
+                else:
+                    still.append(gen)
+            pending = still
+        if pending:
+            missing = [g.name for g in pending[:5]]
+            raise ValueError(f"witness generation stuck; pending: {missing}")
+        return values
+
+    def check(self, values: Dict[int, int]):
+        """Check every constraint (the 'fake backend' verification path —
+        reference feature not-constrain-bn254-stark skips exactly this for
+        the STARK hook; here it is the round-1 outer-circuit backend)."""
+        for i, c in enumerate(self.builder.constraints):
+            if c.eval(values) != 0:
+                raise ValueError(f"constraint {i} ({c.tag}) violated")
+        for idx, bits in getattr(self.builder, "range_checks", []):
+            if values[idx] >= 1 << bits:
+                raise ValueError(
+                    f"range check violated: t{idx} = {values[idx]} >= 2^{bits}"
+                )
+
+    def prove(self, pw: Witness):
+        """Witness generation + constraint check + deferred proof payloads.
+
+        Returns (values, proofs) where `proofs` holds the batch STARK
+        proofs produced by hooks during witness generation (stored on the
+        hook objects).
+        """
+        values = self.generate_witness(pw)
+        self.check(values)
+        proofs = {}
+        for key, hook in self.builder.hooks.items():
+            if getattr(hook, "proof", None) is not None:
+                proofs[key] = hook.proof
+        return values, proofs

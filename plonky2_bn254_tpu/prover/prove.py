@@ -32,6 +32,7 @@ from .challenger import Challenger
 from .config import StarkConfig
 from .merkle import MerkleTree
 from .poly_batch import PolynomialBatch, bit_rev_perm, from_coeffs, from_values
+from ..utils import timing as timing_mod
 
 
 @dataclass
@@ -200,7 +201,9 @@ def prove(
     trace_rows: jnp.ndarray,
     ctl_values: Dict[int, List[List[int]]],
     config: StarkConfig,
+    timing: "timing_mod.TimingTree" = None,
 ) -> Proof:
+    tt = timing_mod.get(timing)
     n, w = trace_rows.shape
     assert w == stark.width
     n_log = n.bit_length() - 1
@@ -209,7 +212,9 @@ def prove(
     N = n << rate
     trace_cols = trace_rows.T  # [w, n]
 
-    trace_batch = from_values(trace_cols, rate, config.cap_height)
+    with tt.scope("trace commit"):
+        trace_batch = from_values(trace_cols, rate, config.cap_height)
+        jax.block_until_ready(trace_batch.lde)
     ch = Challenger()
     ch.observe_element(n_log)
     ch.observe_cap(trace_batch.cap)
@@ -219,8 +224,12 @@ def prove(
         for _ in range(config.num_challenges)
     ]
 
-    aux_cols = generate_aux_columns(stark, trace_cols, challenges)
-    aux_batch = from_values(aux_cols, rate, config.cap_height)
+    with tt.scope("aux columns"):
+        aux_cols = generate_aux_columns(stark, trace_cols, challenges)
+        jax.block_until_ready(aux_cols)
+    with tt.scope("aux commit"):
+        aux_batch = from_values(aux_cols, rate, config.cap_height)
+        jax.block_until_ready(aux_batch.lde)
     ch.observe_cap(aux_batch.cap)
 
     ctl_totals = [
@@ -234,6 +243,8 @@ def prove(
     alphas = ch.get_n_challenges(config.num_challenges)
 
     # ---- quotient ------------------------------------------------------
+    tt_q = tt.scope("quotient")
+    tt_q.__enter__()
     xs, z_h, inv_z_h, z_last, l_first, l_last = _domain_arrays(n_log, rate)
     step = 1 << rate
     t_lde = trace_batch.lde
@@ -264,12 +275,16 @@ def prove(
         q_chunks.append(q_coeffs[:n])
         q_chunks.append(q_coeffs[n:])
     quotient_batch = from_coeffs(jnp.stack(q_chunks), rate, config.cap_height)
+    jax.block_until_ready(quotient_batch.lde)
+    tt_q.__exit__(None, None, None)
     ch.observe_cap(quotient_batch.cap)
 
     # ---- openings ------------------------------------------------------
     zeta = ch.get_extension_challenge()
     g = gl.primitive_root_of_unity(n_log)
     zeta_g = zeta.scalar_mul(g)
+    tt_o = tt.scope("openings")
+    tt_o.__enter__()
     openings = Openings(
         trace_zeta=eval_polys_at(trace_batch.coeffs, zeta),
         trace_zeta_g=eval_polys_at(trace_batch.coeffs, zeta_g),
@@ -278,6 +293,7 @@ def prove(
         quotient_zeta=eval_polys_at(quotient_batch.coeffs, zeta),
         quotient_zeta_g=eval_polys_at(quotient_batch.coeffs, zeta_g),
     )
+    tt_o.__exit__(None, None, None)
     for vals, vals_g in openings.all_polys_order():
         for v in vals:
             ch.observe_extension(v)
@@ -285,6 +301,8 @@ def prove(
             ch.observe_extension(v)
 
     # ---- FRI -----------------------------------------------------------
+    tt_f = tt.scope("fri")
+    tt_f.__enter__()
     fri_alpha = ch.get_extension_challenge()
     batches = [trace_batch, aux_batch, quotient_batch]
     all_lde = jnp.concatenate([b.lde for b in batches], axis=0)  # [np, N]
@@ -328,6 +346,7 @@ def prove(
     fri_proof, query_indices, fri_query_layers = fri_mod.prove_fri(
         F, n_log, config, ch
     )
+    tt_f.__exit__(None, None, None)
 
     # initial tree openings per query
     big_perm = bit_rev_perm(n_log + rate)

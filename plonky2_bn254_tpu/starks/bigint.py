@@ -57,17 +57,25 @@ def carry_prop(coeffs: jnp.ndarray, n_out: int) -> jnp.ndarray:
     shorter (treated as zero-extended).  The final carry is dropped — the
     caller guarantees the value fits (or only the low `n_out` limbs are
     wanted, i.e. reduction mod 2^(16*n_out)).
+
+    Implemented as a lax.scan over the limb axis: the carry chain is
+    inherently sequential, and the scan keeps the jit graph tiny (this
+    function is instantiated hundreds of times inside the trace-gen scans).
     """
     n_in = coeffs.shape[-1]
-    carry = jnp.zeros(coeffs.shape[:-1], jnp.int64)
-    limbs = []
-    for i in range(n_out):
-        c = coeffs[..., i] if i < n_in else jnp.zeros_like(carry)
+    if n_in < n_out:
+        coeffs = jnp.pad(coeffs, [(0, 0)] * (coeffs.ndim - 1) + [(0, n_out - n_in)])
+    else:
+        coeffs = coeffs[..., :n_out]
+    x = jnp.moveaxis(coeffs, -1, 0)  # [n_out, ...]
+
+    def step(carry, c):
         t = c + carry
         limb = t & LIMB_MASK
-        carry = (t - limb) >> LIMB_BITS
-        limbs.append(limb)
-    return jnp.stack(limbs, axis=-1)
+        return (t - limb) >> LIMB_BITS, limb
+
+    _, limbs = jax.lax.scan(step, jnp.zeros_like(x[0]), x)
+    return jnp.moveaxis(limbs, 0, -1)
 
 
 def _pol_mul_arrays(a: jnp.ndarray, b_const: list) -> jnp.ndarray:
@@ -100,18 +108,17 @@ def mul_full(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def compare_ge(a: jnp.ndarray, b_const: list) -> jnp.ndarray:
     """a >= const, lexicographic from the top limb. Returns bool [...]."""
     n = a.shape[-1]
-    ge = jnp.ones(a.shape[:-1], bool)
-    # scan from most significant: track 'decided' and 'result'
-    result = jnp.ones(a.shape[:-1], bool)
-    decided = jnp.zeros(a.shape[:-1], bool)
-    for i in range(n - 1, -1, -1):
-        bi = int(b_const[i]) if i < len(b_const) else 0
-        gt = a[..., i] > bi
-        lt = a[..., i] < bi
-        result = jnp.where(~decided & gt, True, jnp.where(~decided & lt, False, result))
-        decided = decided | gt | lt
-    del ge
-    return result
+    b = jnp.asarray(
+        np.array([int(b_const[i]) if i < len(b_const) else 0 for i in range(n)],
+                 dtype=np.int64)
+    )
+    diff = a - b  # per-limb signed comparison
+    rev = diff[..., ::-1]  # MSB first
+    nz = rev != 0
+    first = jnp.argmax(nz, axis=-1)  # index of most significant difference
+    val = jnp.take_along_axis(rev, first[..., None], axis=-1)[..., 0]
+    any_nz = jnp.any(nz, axis=-1)
+    return jnp.where(any_nz, val > 0, True)
 
 
 def sub_const_if(a: jnp.ndarray, b_const: list, cond: jnp.ndarray) -> jnp.ndarray:
@@ -143,6 +150,19 @@ def mod_p(n: jnp.ndarray) -> jnp.ndarray:
 def mulmod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a * b) mod p on [..., 16] canonical limb tensors."""
     return mod_p(mul_full(a, b))
+
+
+@jax.jit
+def addmod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a + b) mod p on canonical limb tensors."""
+    return mod_p(carry_prop(a + b, 32))
+
+
+@jax.jit
+def submod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a - b) mod p on canonical limb tensors."""
+    p_row = _const_row(MOD_LIMBS_INT)
+    return mod_p(carry_prop(a - b + p_row, 32))
 
 
 @jax.jit

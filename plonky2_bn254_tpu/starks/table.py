@@ -83,3 +83,15 @@ def g1_scalar_mul_stark() -> Stark:
         lookups=g1.lookups(),
         ctls=g1.ctls(),
     )
+
+
+def g2_scalar_mul_stark() -> Stark:
+    from . import g2_scalar_mul as g2
+
+    return Stark(
+        name="g2_scalar_mul",
+        width=g2.LAYOUT.width,
+        eval_fn=g2.eval_g2_scalar_mul,
+        lookups=g2.lookups(),
+        ctls=g2.ctls(),
+    )
