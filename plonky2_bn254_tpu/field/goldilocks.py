@@ -186,6 +186,30 @@ def inv(a):
     return exp_const(a, P - 2)
 
 
+@jax.jit
+def batch_inv(x):
+    """Elementwise inverse of a whole tensor with ONE Fermat inversion.
+
+    Montgomery's trick via log-depth prefix/suffix products: 3 associative
+    scans + one exp chain instead of one 64-squaring chain per element.
+    Zero entries map to zero (reference Inv convention).
+    """
+    shape = x.shape
+    flat = x.reshape(-1)
+    is_zero = flat == _c(0)
+    safe = jnp.where(is_zero, _c(1), flat)
+    incl = jax.lax.associative_scan(mul, safe)
+    total_inv = inv(incl[-1])
+    # exclusive prefix: prod of elements before i
+    pre = jnp.concatenate([jnp.ones(1, _U64), incl[:-1]])
+    # suffix product via reversed scan
+    incl_rev = jax.lax.associative_scan(mul, safe[::-1])
+    suf = jnp.concatenate([incl_rev[-2::-1], jnp.ones(1, _U64)])
+    out = mul(mul(pre, suf), total_inv)
+    out = jnp.where(is_zero, _c(0), out)
+    return out.reshape(shape)
+
+
 def batch_dot_accumulate(terms):
     """Sum of products mod p: terms is a list of (a, b) canonical pairs."""
     acc = None

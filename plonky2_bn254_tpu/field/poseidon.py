@@ -139,8 +139,13 @@ def two_to_one(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
 
 
 def h_permute(state):
-    """Permutation on a list of 12 python ints."""
+    """Permutation on a list of 12 python ints (native lib when available)."""
     assert len(state) == WIDTH
+    from . import native
+
+    nat = native.permute([s % gl.P for s in state])
+    if nat is not None:
+        return nat
     state = [s % gl.P for s in state]
     r = 0
 
@@ -172,6 +177,11 @@ def _h_mds(state):
 
 def h_hash_no_pad(inputs):
     """Sponge hash of a python-int list -> 4-int digest."""
+    from . import native
+
+    nat = native.hash_no_pad([int(v) % gl.P for v in inputs])
+    if nat is not None:
+        return nat
     state = [0] * WIDTH
     for start in range(0, len(inputs), SPONGE_RATE):
         chunk = list(inputs[start : start + SPONGE_RATE])
@@ -182,5 +192,10 @@ def h_hash_no_pad(inputs):
 
 
 def h_two_to_one(left, right):
+    from . import native
+
+    nat = native.two_to_one([int(v) for v in left], [int(v) for v in right])
+    if nat is not None:
+        return nat
     state = list(left) + list(right) + [0] * (WIDTH - 2 * DIGEST_LEN)
     return h_permute(state)[:DIGEST_LEN]

@@ -70,12 +70,15 @@ def eval_lookup_ctl_constraints(
 ):
     """Append lookup/CTL constraints (order must match aux generation).
 
-    `challenges`: list of (beta, gamma) python ints; `ctl_totals[i][c]`:
-    python ints.  `local`/`aux_local` etc are lists of ring values.
+    `challenges`: list of (beta, gamma) — python ints OR traced uint64
+    scalars (converted through ring.const, so the same code serves the
+    jitted prover and the host verifier); `ctl_totals[i][c]` likewise.
+    `local`/`aux_local` etc are lists of ring values.
     """
     for i, (beta, gamma) in enumerate(challenges):
         off = i * (aux_width(stark, 1))
         gamma_v = ring.const(gamma)
+        beta_v = ring.const(beta)
         one = ring.one()
         for lk in stark.lookups:
             n_h = helper_count(lk)
@@ -109,10 +112,10 @@ def eval_lookup_ctl_constraints(
             z_next = aux_next[off]
             combined = ctl.eval_row(local, ring)
             acc = gamma_v
-            b_pow = 1
+            b_pow = one
             for v in combined:
-                acc = acc + v.scalar_mul(b_pow)
-                b_pow = b_pow * beta % gl.P
+                acc = acc + v * b_pow
+                b_pow = b_pow * beta_v
             filt = local[ctl.filter_col]
             consumer.constraint_transition((z_loc - z_next) * acc - filt)
             consumer.constraint_last_row(z_loc * acc - filt)

@@ -39,6 +39,13 @@ class MerkleTree:
 
     @staticmethod
     def verify(leaf_digest, index: int, path, cap) -> bool:
+        from ..field import native
+
+        if native.available():
+            cap_node = cap[index >> len(path)]
+            ok = native.verify_path(leaf_digest, index, path, cap_node)
+            if ok is not None:
+                return ok
         h = [int(x) for x in leaf_digest]
         for sib in path:
             s = [int(x) for x in sib]

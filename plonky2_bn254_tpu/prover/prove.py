@@ -1,19 +1,26 @@
-"""STARK prover driver: commit -> aux -> quotient -> openings -> FRI.
+"""STARK prover driver: a few large jitted device stages per proof.
 
 Rebuild of /root/reference/src/starks/common/prover.rs:18-72 plus the
-forked-starky machinery it calls (get_ctl_data, prove_with_commitment):
-every bulk polynomial step (trace commit, LogUp/CTL running sums, quotient
-evaluation on the LDE coset, FRI folds) runs as batched JAX device code;
-the Fiat-Shamir challenger and query extraction run on host.
+forked-starky machinery it calls (get_ctl_data, prove_with_commitment).
 
-Proof shape (self-consistent with prover/verify.py):
-  caps(trace, aux, quotient) -> challenges (beta_i, gamma_i) -> aux ->
-  alphas -> quotient (split in 2 chunks per challenge) -> zeta ->
-  openings at zeta, zeta*g -> batch-FRI on the two reduced polynomials.
+Structure (SURVEY.md §7 hard part (e) — avoid host/device ping-pong in
+Fiat-Shamir): the prover is FIVE jitted segments separated only by host
+challenger squeezes; all Fiat-Shamir challenges are passed into the
+segments as traced arguments so compiled executables are reused across
+proofs of the same shape:
+
+  S1 commit(trace)                 -> coeffs/LDE/Merkle levels/cap
+  S2 aux(trace, beta, gamma)       -> LogUp helpers+Z, CTL Z  -> commit
+  S3 quotient(ldes, challenges)    -> alpha-combined quotient chunks -> commit
+  S4 openings(coeffs, zeta)        -> f_i(zeta), f_i(zeta*g)
+  S5 fri(ldes, openings, alpha)    -> reduced oracle F + fold layers + trees
+
+Jitted executables are cached per (stark, degree, config) in _JIT_CACHE.
 """
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Dict, List
 
@@ -22,17 +29,308 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..field import goldilocks as gl
-from ..field import ntt
+from ..field import ntt, poseidon
 from ..field.extension import Ext, GLExt
 from ..starks.air import GL, GLRing, ConstraintConsumer
 from ..starks.table import Stark
+from ..utils import timing as timing_mod
 from . import constraints as cons
 from . import fri as fri_mod
 from .challenger import Challenger
 from .config import StarkConfig
 from .merkle import MerkleTree
-from .poly_batch import PolynomialBatch, bit_rev_perm, from_coeffs, from_values
-from ..utils import timing as timing_mod
+from .poly_batch import bit_rev_perm
+
+_JIT_CACHE: Dict = {}
+
+
+def _cached(key, factory):
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = factory()
+    return _JIT_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# small device helpers
+# ---------------------------------------------------------------------------
+
+
+def ext_scale(v: Ext, k0, k1) -> Ext:
+    """Ext tensor times a (possibly traced) scalar extension value."""
+    k0 = jnp.asarray(k0, jnp.uint64)
+    k1 = jnp.asarray(k1, jnp.uint64)
+    k1w = gl.mul_const(k1, 7)
+    return Ext(
+        gl.add(gl.mul(v.c0, k0), gl.mul(v.c1, k1w)),
+        gl.add(gl.mul(v.c0, k1), gl.mul(v.c1, k0)),
+    )
+
+
+def _mod_dot(mat: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
+    """sum_j mat[..., j] * vec[j] mod p via log-depth pairwise reduction."""
+    prod = gl.mul(mat, vec)
+    n = prod.shape[-1]
+    while n > 1:
+        half = n // 2
+        prod = gl.add(prod[..., :half], prod[..., half : 2 * half])
+        n = half
+    return prod[..., 0]
+
+
+def _ext_powers(z0, z1, n: int) -> Ext:
+    """[zeta^0 .. zeta^{n-1}] by doubling concatenation (traced zeta)."""
+    pows = Ext(jnp.ones((1,), jnp.uint64), jnp.zeros((1,), jnp.uint64))
+    cur = Ext(jnp.asarray(z0, jnp.uint64), jnp.asarray(z1, jnp.uint64))
+    while pows.c0.shape[0] < n:
+        scaled = ext_scale(pows, cur.c0, cur.c1)
+        pows = Ext(
+            jnp.concatenate([pows.c0, scaled.c0]),
+            jnp.concatenate([pows.c1, scaled.c1]),
+        )
+        cur = cur * cur
+    return Ext(pows.c0[:n], pows.c1[:n])
+
+
+def _rev_cumsum(values: jnp.ndarray) -> jnp.ndarray:
+    rev = values[::-1]
+    acc = jax.lax.associative_scan(gl.add, rev)
+    return acc[::-1]
+
+
+def _tree_levels(leaves: jnp.ndarray, cap_height: int):
+    """[N, L] leaves -> list of digest levels (device)."""
+    n = leaves.shape[0]
+    n_levels = (n.bit_length() - 1) - cap_height
+    digests = poseidon.hash_no_pad(leaves)
+    levels = [digests]
+    for _ in range(n_levels):
+        digests = poseidon.two_to_one(digests[0::2], digests[1::2])
+        levels.append(digests)
+    return levels
+
+
+def _domain_arrays(n_log: int, rate_bits: int):
+    """(xs, inv_z_h, z_last, l_first, l_last) on the LDE coset (constants)."""
+    n = 1 << n_log
+    big_n_log = n_log + rate_bits
+    N = 1 << big_n_log
+    shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
+    g_big_pows = jnp.asarray(
+        ntt._coset_powers(N, gl.primitive_root_of_unity(big_n_log))
+    )
+    xs = gl.mul_const(g_big_pows, shift)
+    g2 = pow(gl.primitive_root_of_unity(big_n_log), n, gl.P)
+    shift_n = pow(shift, n, gl.P)
+    xn = gl.mul_const(
+        jnp.asarray(ntt._coset_powers(1 << rate_bits, g2))[
+            jnp.arange(N) % (1 << rate_bits)
+        ],
+        shift_n,
+    )
+    one = jnp.uint64(1)
+    z_h = gl.sub(xn, one)
+    inv_z_h = gl.batch_inv(z_h)
+    g = gl.primitive_root_of_unity(n_log)
+    g_last = pow(g, n - 1, gl.P)
+    z_last = gl.sub(xs, jnp.uint64(g_last))
+    n_inv = gl.h_inv(n)
+    l_first = gl.mul(z_h, gl.batch_inv(gl.mul_const(gl.sub(xs, one), n)))
+    l_last = gl.mul(gl.mul_const(z_h, g_last * n_inv % gl.P), gl.batch_inv(z_last))
+    return xs, inv_z_h, z_last, l_first, l_last
+
+
+# ---------------------------------------------------------------------------
+# jitted stages
+# ---------------------------------------------------------------------------
+
+
+def _make_commit(rate_bits: int, cap_height: int):
+    # NOT fused into one jit: XLA's algebraic simplifier loops pathologically
+    # on the large fused graph; the component kernels (intt / coset_lde /
+    # hash / per-level compress) are each jitted and cached individually.
+    def commit(values):
+        coeffs = ntt.intt(values)
+        lde = ntt.coset_lde_from_coeffs(coeffs, rate_bits)
+        n_big = lde.shape[-1]
+        perm = jnp.asarray(bit_rev_perm(n_big.bit_length() - 1))
+        leaves = _gather_t(lde, perm)
+        levels = _tree_levels(leaves, cap_height)
+        return coeffs, lde, levels
+
+    return commit
+
+
+@jax.jit
+def _gather_t(lde, perm):
+    return lde[:, perm].T
+
+
+def _make_commit_coeffs(rate_bits: int, cap_height: int):
+    def commit(coeffs):
+        lde = ntt.coset_lde_from_coeffs(coeffs, rate_bits)
+        n_big = lde.shape[-1]
+        perm = jnp.asarray(bit_rev_perm(n_big.bit_length() - 1))
+        leaves = _gather_t(lde, perm)
+        levels = _tree_levels(leaves, cap_height)
+        return lde, levels
+
+    return commit
+
+
+def _make_aux(stark: Stark):
+    @jax.jit
+    def aux_core(trace_cols, gammas, ctl_beta_pows):
+        """gammas: [num_challenges] u64; ctl_beta_pows: list (per challenge)
+        of lists (per ctl) of [row_len] u64 power tables."""
+        n = trace_cols.shape[-1]
+        ring = GLRing((n,))
+        aux = []
+        for i in range(len(ctl_beta_pows)):
+            gamma_c = gammas[i]
+            for lk in stark.lookups:
+                n_h = cons.helper_count(lk)
+                cols = trace_cols[jnp.asarray(np.array(lk.columns))]
+                shifted = gl.add(cols, gamma_c)
+                inv_cols = gl.batch_inv(shifted)
+                table_inv = gl.batch_inv(
+                    gl.add(trace_cols[lk.table_col], gamma_c)
+                )
+                helpers = []
+                for k in range(n_h):
+                    h = inv_cols[2 * k]
+                    if 2 * k + 1 < len(lk.columns):
+                        h = gl.add(h, inv_cols[2 * k + 1])
+                    helpers.append(h)
+                    aux.append(h)
+                h_sum = helpers[0]
+                for h in helpers[1:]:
+                    h_sum = gl.add(h_sum, h)
+                freq = trace_cols[lk.freq_col]
+                contribution = gl.sub(h_sum, gl.mul(freq, table_inv))
+                aux.append(_rev_cumsum(contribution))
+            for c_idx, ctl in enumerate(stark.ctls):
+                row_vals = [
+                    ring.wrap(trace_cols[j]) for j in range(trace_cols.shape[0])
+                ]
+                combined = ctl.eval_row(row_vals, ring)
+                pows = ctl_beta_pows[i][c_idx]
+                acc = ring.const(gamma_c)
+                for j, v in enumerate(combined):
+                    acc = acc + v * ring.const(pows[j])
+                filt = trace_cols[ctl.filter_col]
+                contribution = gl.mul(filt, gl.batch_inv(acc.v))
+                aux.append(_rev_cumsum(contribution))
+        return jnp.stack(aux, axis=0)
+
+    return aux_core
+
+
+def _make_quotient(stark: Stark, n_log: int, config: StarkConfig):
+    n = 1 << n_log
+    rate = config.rate_bits
+    N = n << rate
+    step = 1 << rate
+    shift_inv_pows_np = ntt._coset_powers(
+        N, gl.h_inv(gl.MULTIPLICATIVE_GROUP_GENERATOR)
+    )
+
+    @jax.jit
+    def quotient_core(t_lde, a_lde, alphas, alpha_pows, betas, gammas, totals):
+        xs, inv_z_h, z_last, l_first, l_last = _domain_arrays(n_log, rate)
+        ring = GLRing((N,))
+        local = [GL(t_lde[j]) for j in range(t_lde.shape[0])]
+        next_ = [GL(jnp.roll(t_lde[j], -step)) for j in range(t_lde.shape[0])]
+        aux_local = [GL(a_lde[j]) for j in range(a_lde.shape[0])]
+        aux_next = [GL(jnp.roll(a_lde[j], -step)) for j in range(a_lde.shape[0])]
+        consumer = ConstraintConsumer(
+            ring,
+            [ring.const(alphas[i]) for i in range(alphas.shape[0])],
+            GL(z_last),
+            GL(l_first),
+            GL(l_last),
+            alpha_pows=alpha_pows,
+        )
+        challenges = [(betas[i], gammas[i]) for i in range(betas.shape[0])]
+        ctl_totals = [
+            [totals[i, c] for c in range(totals.shape[1])]
+            for i in range(totals.shape[0])
+        ]
+        cons.eval_all_constraints(
+            consumer,
+            ring,
+            stark,
+            local,
+            next_,
+            aux_local,
+            aux_next,
+            challenges,
+            ctl_totals,
+        )
+        shift_inv_pows = jnp.asarray(shift_inv_pows_np)
+        q_chunks = []
+        for acc in consumer.accs:
+            q_vals = gl.mul(acc.v, inv_z_h)
+            q_coeffs = gl.mul(ntt.intt(q_vals), shift_inv_pows)
+            q_chunks.append(q_coeffs[:n])
+            q_chunks.append(q_coeffs[n:])
+        return jnp.stack(q_chunks)
+
+    return quotient_core
+
+
+def _make_openings(n: int):
+    @jax.jit
+    def openings_core(coeffs, z0, z1):
+        pows = _ext_powers(z0, z1, n)
+        return _mod_dot(coeffs, pows.c0), _mod_dot(coeffs, pows.c1)
+
+    return openings_core
+
+
+@functools.lru_cache(maxsize=None)
+def _xs_np(N: int):
+    big_n_log = N.bit_length() - 1
+    return ntt._coset_powers(N, gl.primitive_root_of_unity(big_n_log))
+
+
+def _ext_batch_inv(v: Ext) -> Ext:
+    norm = gl.sub(gl.square(v.c0), gl.mul_const(gl.square(v.c1), 7))
+    ninv = gl.batch_inv(norm)
+    return Ext(gl.mul(v.c0, ninv), gl.mul(gl.neg(v.c1), ninv))
+
+
+def _make_fri_oracle(n_polys: int, N: int):
+    @jax.jit
+    def fri_oracle(all_lde, alpha, s_zeta, s_zeta_g, zeta, zeta_g, alpha_off):
+        """alpha / s_* / zeta* / alpha_off: [2] uint64 extension pairs."""
+        xs = gl.mul_const(
+            jnp.asarray(_xs_np(N)), gl.MULTIPLICATIVE_GROUP_GENERATOR
+        )
+        S = Ext.zero((N,))
+        for j in range(n_polys - 1, -1, -1):
+            S = ext_scale(S, alpha[0], alpha[1])
+            S = Ext(gl.add(S.c0, all_lde[j]), S.c1)
+
+        def reduced(point, s_at):
+            diff = Ext(
+                gl.sub(xs, point[0]),
+                jnp.broadcast_to(gl.neg(point[1]), (N,)),
+            )
+            inv_diff = _ext_batch_inv(diff)
+            num = Ext(gl.sub(S.c0, s_at[0]), gl.sub(S.c1, s_at[1]))
+            return num * inv_diff
+
+        B = reduced(zeta, s_zeta)
+        B_g = reduced(zeta_g, s_zeta_g)
+        scaled = ext_scale(B_g, alpha_off[0], alpha_off[1])
+        return gl.add(B.c0, scaled.c0), gl.add(B.c1, scaled.c1)
+
+    return fri_oracle
+
+
+# ---------------------------------------------------------------------------
+# proof container
+# ---------------------------------------------------------------------------
 
 
 @dataclass
@@ -45,7 +343,6 @@ class Openings:
     quotient_zeta_g: List[GLExt]
 
     def all_polys_order(self):
-        """Opening values in the canonical FRI batching order."""
         return (
             (self.trace_zeta, self.trace_zeta_g),
             (self.aux_zeta, self.aux_zeta_g),
@@ -62,133 +359,8 @@ class Proof:
     openings: Openings
     fri: fri_mod.FriProof
     query_indices: List[int]
-    query_initials: List[List]  # per query: [(leaf_row, path) x 3 batches]
+    query_initials: List[List]
     fri_query_layers: List[List[fri_mod.FriLayerProof]]
-
-
-# ---------------------------------------------------------------------------
-# helpers
-# ---------------------------------------------------------------------------
-
-
-def _mod_dot(mat: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
-    """sum_j mat[..., j] * vec[j] mod p via log-depth pairwise reduction."""
-    prod = gl.mul(mat, vec)
-    n = prod.shape[-1]
-    while n > 1:
-        half = n // 2
-        prod = gl.add(prod[..., :half], prod[..., half : 2 * half])
-        n = half
-    return prod[..., 0]
-
-
-def _ext_powers(zeta: GLExt, n: int) -> Ext:
-    """[zeta^0 .. zeta^{n-1}] as an Ext array, by doubling concatenation."""
-    c0 = jnp.asarray(np.array([1], dtype=np.uint64))
-    c1 = jnp.asarray(np.array([0], dtype=np.uint64))
-    pows = Ext(c0, c1)
-    cur = zeta
-    while pows.c0.shape[0] < n:
-        scaled = fri_mod.ext_scale_const(pows, cur)
-        pows = Ext(
-            jnp.concatenate([pows.c0, scaled.c0]),
-            jnp.concatenate([pows.c1, scaled.c1]),
-        )
-        cur = cur * cur
-    return Ext(pows.c0[:n], pows.c1[:n])
-
-
-def eval_polys_at(coeffs: jnp.ndarray, zeta: GLExt) -> List[GLExt]:
-    """Evaluate each row of coeffs [m, n] at an extension point."""
-    n = coeffs.shape[-1]
-    pows = _ext_powers(zeta, n)
-    r0 = np.asarray(_mod_dot(coeffs, pows.c0))
-    r1 = np.asarray(_mod_dot(coeffs, pows.c1))
-    return [GLExt(int(a), int(b)) for a, b in zip(r0, r1)]
-
-
-def _rev_cumsum(values: jnp.ndarray) -> jnp.ndarray:
-    """Z[x] = sum_{y >= x} values[y]  (mod p), via associative scan."""
-    rev = values[::-1]
-    acc = jax.lax.associative_scan(gl.add, rev)
-    return acc[::-1]
-
-
-def generate_aux_columns(stark: Stark, trace_cols: jnp.ndarray, challenges):
-    """[w, n] trace values -> [aux_w, n] auxiliary columns (device).
-
-    Order must match constraints.eval_lookup_ctl_constraints.
-    """
-    n = trace_cols.shape[-1]
-    ring = GLRing((n,))
-    aux = []
-    for beta, gamma in challenges:
-        gamma_c = jnp.uint64(gamma)
-        for lk in stark.lookups:
-            n_h = cons.helper_count(lk)
-            # batch-invert all (gamma + col) terms plus the table term
-            cols = trace_cols[jnp.asarray(np.array(lk.columns))]
-            shifted = gl.add(cols, gamma_c)  # [n_cols, n]
-            inv_cols = gl.inv(shifted)
-            table_inv = gl.inv(gl.add(trace_cols[lk.table_col], gamma_c))
-            helpers = []
-            for k in range(n_h):
-                h = inv_cols[2 * k]
-                if 2 * k + 1 < len(lk.columns):
-                    h = gl.add(h, inv_cols[2 * k + 1])
-                helpers.append(h)
-                aux.append(h)
-            h_sum = helpers[0]
-            for h in helpers[1:]:
-                h_sum = gl.add(h_sum, h)
-            freq = trace_cols[lk.freq_col]
-            contribution = gl.sub(h_sum, gl.mul(freq, table_inv))
-            aux.append(_rev_cumsum(contribution))
-        for ctl in stark.ctls:
-            row_vals = [ring.wrap(trace_cols[j]) for j in range(trace_cols.shape[0])]
-            combined = ctl.eval_row(row_vals, ring)
-            acc = ring.const(gamma)
-            b_pow = 1
-            for v in combined:
-                acc = acc + v.scalar_mul(b_pow)
-                b_pow = b_pow * beta % gl.P
-            filt = trace_cols[ctl.filter_col]
-            contribution = gl.mul(filt, gl.inv(acc.v))
-            aux.append(_rev_cumsum(contribution))
-    return jnp.stack(aux, axis=0)
-
-
-def _domain_arrays(n_log: int, rate_bits: int):
-    """(xs, z_h, inv_z_h, z_last, l_first, l_last) on the LDE coset, device."""
-    n = 1 << n_log
-    big_n_log = n_log + rate_bits
-    N = 1 << big_n_log
-    shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
-    g_big_pows = jnp.asarray(
-        ntt._coset_powers(N, gl.primitive_root_of_unity(big_n_log))
-    )
-    xs = gl.mul_const(g_big_pows, shift)
-    # x^n on the coset: shift^n * (g_big^n)^k, g_big^n has order 2^rate
-    g2 = pow(gl.primitive_root_of_unity(big_n_log), n, gl.P)
-    shift_n = pow(shift, n, gl.P)
-    xn = gl.mul_const(
-        jnp.asarray(ntt._coset_powers(1 << rate_bits, g2))[
-            jnp.arange(N) % (1 << rate_bits)
-        ],
-        shift_n,
-    )
-    one = jnp.uint64(1)
-    z_h = gl.sub(xn, one)
-    inv_z_h = gl.inv(z_h)
-    g = gl.primitive_root_of_unity(n_log)
-    g_last = pow(g, n - 1, gl.P)
-    z_last = gl.sub(xs, jnp.uint64(g_last))
-    n_inv = gl.h_inv(n)
-    l_first = gl.mul(z_h, gl.inv(gl.mul_const(gl.sub(xs, one), n)))
-    l_last = gl.mul(
-        gl.mul_const(z_h, g_last * n_inv % gl.P), gl.inv(z_last)
-    )
-    return xs, z_h, inv_z_h, z_last, l_first, l_last
 
 
 # ---------------------------------------------------------------------------
@@ -210,163 +382,179 @@ def prove(
     assert n == 1 << n_log
     rate = config.rate_bits
     N = n << rate
-    trace_cols = trace_rows.T  # [w, n]
+    trace_cols = trace_rows.T
 
+    key = (stark.name, n_log, config)
+    commit = _cached((key, "commit"), lambda: _make_commit(rate, config.cap_height))
+    commit_c = _cached(
+        (key, "commit_coeffs"), lambda: _make_commit_coeffs(rate, config.cap_height)
+    )
+    aux_core = _cached((key, "aux"), lambda: _make_aux(stark))
+    quotient_core = _cached(
+        (key, "quotient"), lambda: _make_quotient(stark, n_log, config)
+    )
+    openings_core = _cached((key, "open"), lambda: _make_openings(n))
+
+    # ---- S1: trace commit ---------------------------------------------
     with tt.scope("trace commit"):
-        trace_batch = from_values(trace_cols, rate, config.cap_height)
-        jax.block_until_ready(trace_batch.lde)
+        t_coeffs, t_lde, t_levels = commit(trace_cols)
+        t_levels = [np.asarray(l) for l in t_levels]
+    trace_tree = MerkleTree(levels=t_levels)
     ch = Challenger()
     ch.observe_element(n_log)
-    ch.observe_cap(trace_batch.cap)
+    ch.observe_cap(trace_tree.cap)
 
     challenges = [
         (ch.get_challenge(), ch.get_challenge())
         for _ in range(config.num_challenges)
     ]
-
-    with tt.scope("aux columns"):
-        aux_cols = generate_aux_columns(stark, trace_cols, challenges)
-        jax.block_until_ready(aux_cols)
-    with tt.scope("aux commit"):
-        aux_batch = from_values(aux_cols, rate, config.cap_height)
-        jax.block_until_ready(aux_batch.lde)
-    ch.observe_cap(aux_batch.cap)
-
-    ctl_totals = [
+    betas_np = np.array([b for b, _ in challenges], dtype=np.uint64)
+    gammas_np = np.array([g for _, g in challenges], dtype=np.uint64)
+    # host-precomputed beta power tables per (challenge, ctl)
+    ctl_beta_pows = [
         [
-            cons.ctl_total(ctl_values[c_idx], beta, gamma)
-            for c_idx in range(len(stark.ctls))
+            jnp.asarray(
+                np.array(
+                    [pow(int(b), j, gl.P) for j in range(len(ctl.columns))],
+                    dtype=np.uint64,
+                )
+            )
+            for ctl in stark.ctls
         ]
-        for (beta, gamma) in challenges
+        for (b, _) in challenges
     ]
 
+    # ---- S2: aux columns + commit -------------------------------------
+    with tt.scope("aux"):
+        aux_cols = aux_core(trace_cols, jnp.asarray(gammas_np), ctl_beta_pows)
+        a_coeffs, a_lde, a_levels = commit(aux_cols)
+        a_levels = [np.asarray(l) for l in a_levels]
+    aux_tree = MerkleTree(levels=a_levels)
+    ch.observe_cap(aux_tree.cap)
+
+    ctl_totals_np = np.array(
+        [
+            [
+                cons.ctl_total(ctl_values[c_idx], int(b), int(g))
+                for c_idx in range(len(stark.ctls))
+            ]
+            for (b, g) in challenges
+        ],
+        dtype=np.uint64,
+    )
     alphas = ch.get_n_challenges(config.num_challenges)
 
-    # ---- quotient ------------------------------------------------------
-    tt_q = tt.scope("quotient")
-    tt_q.__enter__()
-    xs, z_h, inv_z_h, z_last, l_first, l_last = _domain_arrays(n_log, rate)
-    step = 1 << rate
-    t_lde = trace_batch.lde
-    a_lde = aux_batch.lde
-    ring = GLRing((N,))
-    local = [GL(t_lde[j]) for j in range(w)]
-    next_ = [GL(jnp.roll(t_lde[j], -step)) for j in range(w)]
-    aux_local = [GL(a_lde[j]) for j in range(a_lde.shape[0])]
-    aux_next = [GL(jnp.roll(a_lde[j], -step)) for j in range(a_lde.shape[0])]
-    consumer = ConstraintConsumer(
-        ring,
-        [ring.const(a) for a in alphas],
-        GL(z_last),
-        GL(l_first),
-        GL(l_last),
-    )
-    cons.eval_all_constraints(
-        consumer, ring, stark, local, next_, aux_local, aux_next, challenges, ctl_totals
-    )
-    # quotient chunks: Q_i = acc_i / Z_H, split into degree-n halves
-    shift_inv_pows = jnp.asarray(
-        ntt._coset_powers(N, gl.h_inv(gl.MULTIPLICATIVE_GROUP_GENERATOR))
-    )
-    q_chunks = []
-    for acc in consumer.accs:
-        q_vals = gl.mul(acc.v, inv_z_h)
-        q_coeffs = gl.mul(ntt.intt(q_vals), shift_inv_pows)
-        q_chunks.append(q_coeffs[:n])
-        q_chunks.append(q_coeffs[n:])
-    quotient_batch = from_coeffs(jnp.stack(q_chunks), rate, config.cap_height)
-    jax.block_until_ready(quotient_batch.lde)
-    tt_q.__exit__(None, None, None)
-    ch.observe_cap(quotient_batch.cap)
+    # ---- S3: quotient --------------------------------------------------
+    with tt.scope("quotient"):
+        alpha_pows_np = np.array(
+            [
+                [pow(int(a), j, gl.P) for j in range(513)]
+                for a in alphas
+            ],
+            dtype=np.uint64,
+        )
+        q_chunks = quotient_core(
+            t_lde,
+            a_lde,
+            jnp.asarray(np.array(alphas, dtype=np.uint64)),
+            jnp.asarray(alpha_pows_np),
+            jnp.asarray(betas_np),
+            jnp.asarray(gammas_np),
+            jnp.asarray(ctl_totals_np),
+        )
+        q_lde, q_levels = commit_c(q_chunks)
+        q_levels = [np.asarray(l) for l in q_levels]
+    quotient_tree = MerkleTree(levels=q_levels)
+    ch.observe_cap(quotient_tree.cap)
 
-    # ---- openings ------------------------------------------------------
+    # ---- S4: openings --------------------------------------------------
     zeta = ch.get_extension_challenge()
     g = gl.primitive_root_of_unity(n_log)
     zeta_g = zeta.scalar_mul(g)
-    tt_o = tt.scope("openings")
-    tt_o.__enter__()
-    openings = Openings(
-        trace_zeta=eval_polys_at(trace_batch.coeffs, zeta),
-        trace_zeta_g=eval_polys_at(trace_batch.coeffs, zeta_g),
-        aux_zeta=eval_polys_at(aux_batch.coeffs, zeta),
-        aux_zeta_g=eval_polys_at(aux_batch.coeffs, zeta_g),
-        quotient_zeta=eval_polys_at(quotient_batch.coeffs, zeta),
-        quotient_zeta_g=eval_polys_at(quotient_batch.coeffs, zeta_g),
-    )
-    tt_o.__exit__(None, None, None)
+
+    with tt.scope("openings"):
+
+        def open_at(coeffs, z):
+            r0, r1 = openings_core(coeffs, jnp.uint64(z.c0), jnp.uint64(z.c1))
+            r0, r1 = np.asarray(r0), np.asarray(r1)
+            return [GLExt(int(a), int(b)) for a, b in zip(r0, r1)]
+
+        openings = Openings(
+            trace_zeta=open_at(t_coeffs, zeta),
+            trace_zeta_g=open_at(t_coeffs, zeta_g),
+            aux_zeta=open_at(a_coeffs, zeta),
+            aux_zeta_g=open_at(a_coeffs, zeta_g),
+            quotient_zeta=open_at(q_chunks, zeta),
+            quotient_zeta_g=open_at(q_chunks, zeta_g),
+        )
     for vals, vals_g in openings.all_polys_order():
         for v in vals:
             ch.observe_extension(v)
         for v in vals_g:
             ch.observe_extension(v)
 
-    # ---- FRI -----------------------------------------------------------
-    tt_f = tt.scope("fri")
-    tt_f.__enter__()
+    # ---- S5: FRI -------------------------------------------------------
     fri_alpha = ch.get_extension_challenge()
-    batches = [trace_batch, aux_batch, quotient_batch]
-    all_lde = jnp.concatenate([b.lde for b in batches], axis=0)  # [np, N]
-    n_polys = all_lde.shape[0]
-    # S(x) = sum alpha^i f_i(x)  (Horner over reversed polys)
-    S = Ext.zero((N,))
-    for j in range(n_polys - 1, -1, -1):
-        S = fri_mod.ext_scale_const(S, fri_alpha)
-        S = Ext(gl.add(S.c0, all_lde[j]), S.c1)
     vals_zeta = openings.trace_zeta + openings.aux_zeta + openings.quotient_zeta
     vals_zeta_g = (
         openings.trace_zeta_g + openings.aux_zeta_g + openings.quotient_zeta_g
     )
+    n_polys = len(vals_zeta)
 
-    def horner_scalar(vals):
+    def horner(vals):
         acc = GLExt.zero()
         for v in reversed(vals):
             acc = acc * fri_alpha + v
         return acc
 
-    S_zeta = horner_scalar(vals_zeta)
-    S_zeta_g = horner_scalar(vals_zeta_g)
-
-    def reduced(point: GLExt, s_at_point: GLExt) -> Ext:
-        diff = Ext(
-            gl.sub(xs, jnp.uint64(point.c0)),
-            jnp.full((N,), jnp.uint64((-point.c1) % gl.P)),
-        )
-        inv_diff = diff.inv()
-        num = Ext(
-            gl.sub(S.c0, jnp.uint64(s_at_point.c0)),
-            gl.sub(S.c1, jnp.uint64(s_at_point.c1)),
-        )
-        return num * inv_diff
-
-    B = reduced(zeta, S_zeta)
-    B_g = reduced(zeta_g, S_zeta_g)
+    S_zeta = horner(vals_zeta)
+    S_zeta_g = horner(vals_zeta_g)
     alpha_off = fri_alpha.exp(n_polys)
-    F = B + fri_mod.ext_scale_const(B_g, alpha_off)
 
-    fri_proof, query_indices, fri_query_layers = fri_mod.prove_fri(
-        F, n_log, config, ch
-    )
-    tt_f.__exit__(None, None, None)
+    fri_oracle = _cached((key, "fri_oracle"), lambda: _make_fri_oracle(n_polys, N))
+    pair = lambda e: jnp.asarray(np.array([e.c0, e.c1], dtype=np.uint64))
+    with tt.scope("fri oracle"):
+        all_lde = jnp.concatenate([t_lde, a_lde, q_lde], axis=0)
+        F0, F1 = fri_oracle(
+            all_lde,
+            pair(fri_alpha),
+            pair(S_zeta),
+            pair(S_zeta_g),
+            pair(zeta),
+            pair(zeta_g),
+            pair(alpha_off),
+        )
+        F = Ext(F0, F1)
+
+    with tt.scope("fri"):
+        fri_proof, query_indices, fri_query_layers = fri_mod.prove_fri(
+            F, n_log, config, ch
+        )
 
     # initial tree openings per query
     big_perm = bit_rev_perm(n_log + rate)
-    lde_host = [np.asarray(b.lde) for b in batches]
+    trees = [trace_tree, aux_tree, quotient_tree]
+    lde_host = [np.asarray(t_lde), np.asarray(a_lde), np.asarray(q_lde)]
     query_initials = []
     for idx in query_indices:
         nat = int(big_perm[idx])
         per_batch = []
-        for b, lh in zip(batches, lde_host):
-            leaf_row = lh[:, nat]
-            per_batch.append((leaf_row, b.tree.prove(idx)))
+        for tree, lh in zip(trees, lde_host):
+            per_batch.append((lh[:, nat], tree.prove(idx)))
         query_initials.append(per_batch)
 
     return Proof(
         degree_bits=n_log,
-        trace_cap=trace_batch.cap,
-        aux_cap=aux_batch.cap,
-        quotient_cap=quotient_batch.cap,
+        trace_cap=trace_tree.cap,
+        aux_cap=aux_tree.cap,
+        quotient_cap=quotient_tree.cap,
         openings=openings,
-        fri=fri_proof,
+        fri=fri_mod.FriProof(
+            layer_caps=fri_proof.layer_caps,
+            final_coeffs=fri_proof.final_coeffs,
+            pow_nonce=fri_proof.pow_nonce,
+            queries=None,
+        ),
         query_indices=query_indices,
         query_initials=query_initials,
         fri_query_layers=fri_query_layers,

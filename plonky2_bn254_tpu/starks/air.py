@@ -55,8 +55,11 @@ class GLRing:
     def __init__(self, shape=()):
         self.shape = shape
 
-    def const(self, x: int) -> GL:
-        return GL(jnp.full(self.shape, jnp.uint64(x % gl.P)))
+    def const(self, x) -> GL:
+        if isinstance(x, int):
+            return GL(jnp.full(self.shape, jnp.uint64(x % gl.P)))
+        # traced scalar (uint64 0-d array): broadcast to the ring shape
+        return GL(jnp.broadcast_to(jnp.asarray(x, jnp.uint64), self.shape))
 
     def zero(self) -> GL:
         return self.const(0)
@@ -92,14 +95,20 @@ class ConstraintConsumer:
     `z_last`, `l_first`, `l_last` are ring values (evaluations of
     (x - g^{n-1}), L_0(x), L_{n-1}(x) at the evaluation point(s));
     `alphas` is a list of ring values (one accumulator per challenge).
+
+    `alpha_pows` (optional, GL ring only): [num_challenges, K] uint64 array
+    of host-precomputed alpha powers enabling `constraint_many` to fold a
+    whole GROUP of constraints with one weighted mod-sum — this keeps the
+    jitted quotient graph small (SURVEY.md hard part: compile scaling).
     """
 
-    def __init__(self, ring, alphas, z_last, l_first, l_last):
+    def __init__(self, ring, alphas, z_last, l_first, l_last, alpha_pows=None):
         self.ring = ring
         self.alphas = alphas
         self.z_last = z_last
         self.l_first = l_first
         self.l_last = l_last
+        self.alpha_pows = alpha_pows
         self.accs = [ring.zero() for _ in alphas]
         self.count = 0
 
@@ -110,6 +119,38 @@ class ConstraintConsumer:
     def constraint(self, c):
         """Must vanish on every row."""
         self._accumulate(c)
+
+    def constraint_many(self, items):
+        """Fold a group of every-row constraints, equivalent to calling
+        `constraint` on each in order (Horner identity:
+        acc*alpha^k + sum_j alpha^(k-1-j) c_j)."""
+        items = list(items)
+        k = len(items)
+        if k == 0:
+            return
+        if self.alpha_pows is None or not isinstance(items[0], GL):
+            for c in items:
+                self.constraint(c)
+            return
+        import jax.numpy as _jnp
+
+        stacked = _jnp.stack([c.v for c in items])  # [k, rows]
+        for i in range(len(self.accs)):
+            # weights alpha^(k-1-j) for constraint j
+            w = self.alpha_pows[i, :k][::-1]
+            term = gl.mul(stacked, w[:, None])
+            while term.shape[0] > 1:
+                m = term.shape[0]
+                if m % 2 == 1:
+                    term = _jnp.concatenate(
+                        [gl.add(term[:1], term[m - 1 :]), term[1 : m - 1]], axis=0
+                    )
+                    m -= 1
+                half = m // 2
+                term = gl.add(term[:half], term[half:])
+            alpha_k = self.ring.const(self.alpha_pows[i, k])
+            self.accs[i] = self.accs[i] * alpha_k + GL(term[0])
+        self.count += k
 
     def constraint_transition(self, c):
         """Must vanish on every row but the last."""
@@ -125,11 +166,12 @@ class ConstraintConsumer:
 def eval_eq(consumer, filt, a, b):
     """filter * (a - b) = 0; a/b are values or equal-length lists of values.
 
-    Rebuild of the reference's EvalEq trait (common/eq.rs:11-67).
+    Rebuild of the reference's EvalEq trait (common/eq.rs:11-67); list
+    inputs fold through constraint_many (one weighted mod-sum in the
+    jitted prover, plain loop for scalar rings).
     """
     if isinstance(a, (list, tuple)):
         assert len(a) == len(b)
-        for x, y in zip(a, b):
-            consumer.constraint(filt * (x - y))
+        consumer.constraint_many([filt * (x - y) for x, y in zip(a, b)])
     else:
         consumer.constraint(filt * (a - b))

@@ -215,6 +215,29 @@ def inv_mod_p(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(a_is_zero, 0, result)
 
 
+@jax.jit
+def batch_inv_mod_p(a: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery-batched modular inverse over all leading axes.
+
+    One Fermat chain for the whole batch plus O(n) multiplications in
+    log-depth prefix/suffix scans — replaces per-element 254-step Fermat
+    in the trace generators (0 -> 0 convention preserved).
+    """
+    shape = a.shape
+    flat = a.reshape(-1, N_LIMBS)
+    is_zero = jnp.all(flat == 0, axis=-1, keepdims=True)
+    one = jnp.zeros_like(flat).at[..., 0].set(1)
+    safe = jnp.where(is_zero, one, flat)
+    incl = jax.lax.associative_scan(mulmod, safe, axis=0)
+    total_inv = inv_mod_p(incl[-1])
+    pre = jnp.concatenate([one[:1], incl[:-1]], axis=0)
+    incl_rev = jax.lax.associative_scan(mulmod, safe[::-1], axis=0)
+    suf = jnp.concatenate([incl_rev[-2::-1], one[:1]], axis=0)
+    out = mulmod(mulmod(pre, suf), total_inv)
+    out = jnp.where(is_zero, 0, out)
+    return out.reshape(shape)
+
+
 # ---------------------------------------------------------------------------
 # Host helpers for tests
 # ---------------------------------------------------------------------------

@@ -56,7 +56,7 @@ def f2_small(k: int, a):
 def f2_inv(a):
     """(a0 - a1 u) / (a0^2 + a1^2); 0 -> 0 (Fermat convention)."""
     norm = bigint.addmod(bigint.mulmod(a[0], a[0]), bigint.mulmod(a[1], a[1]))
-    ninv = bigint.inv_mod_p(norm)
+    ninv = bigint.batch_inv_mod_p(norm)
     zero = jnp.zeros_like(a[1])
     return (
         bigint.mulmod(a[0], ninv),

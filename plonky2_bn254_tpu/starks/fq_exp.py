@@ -187,8 +187,10 @@ def eval_fq_exp(consumer, ring, local, next_):
     eval_eq(consumer, sq, nv["square"], lv["square"])
     eval_eq(consumer, sq, nv["is_mul"], one)
     eval_eq(consumer, sq, nv["is_sq_not_last"], ring.zero())
-    for i in range(N_BITS):
-        eval_eq(consumer, sq, nv["bits"][i], lv["bits"][(i + 1) % N_BITS])
+    eval_eq(
+        consumer, sq, nv["bits"],
+        [lv["bits"][(i + 1) % N_BITS] for i in range(N_BITS)],
+    )
 
     # mul_step -> sq_step
     mu = lv["is_mul"]
@@ -199,8 +201,7 @@ def eval_fq_exp(consumer, ring, local, next_):
     eval_eq(consumer, mu, nv["square"], nv["c"])
     eval_eq(consumer, mu, nv["is_mul"], ring.zero())
     eval_eq(consumer, mu, nv["is_sq_not_last"], is_next_not_last)
-    for i in range(N_BITS):
-        eval_eq(consumer, mu, nv["bits"][i], lv["bits"][i])
+    eval_eq(consumer, mu, nv["bits"], lv["bits"])
 
     round_flags.eval_round_flags(
         consumer,

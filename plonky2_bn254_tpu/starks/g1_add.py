@@ -71,11 +71,11 @@ def generate_g1_add(ax, ay, bx, by):
     # both lambda branches, batched
     dx_res = residue_of_signed(delta_x)
     dy_res = residue_of_signed(by - ay)
-    lam_neq = bigint.mulmod(dy_res, bigint.inv_mod_p(dx_res))
+    lam_neq = bigint.mulmod(dy_res, bigint.batch_inv_mod_p(dx_res))
     x_sq = bigint.mulmod(ax, ax)
     three_x_sq = bigint.mod_p(bigint.carry_prop(3 * x_sq, 32))
     two_y = bigint.mod_p(bigint.carry_prop(2 * ay, 32))
-    lam_eq = bigint.mulmod(three_x_sq, bigint.inv_mod_p(two_y))
+    lam_eq = bigint.mulmod(three_x_sq, bigint.batch_inv_mod_p(two_y))
     lam = jnp.where(is_x_eq[..., None] == 1, lam_eq, lam_neq)
 
     # c = (lambda^2 - a.x - b.x, lambda(a.x - c.x) - a.y)

@@ -231,8 +231,10 @@ def eval_g1_scalar_mul(consumer, ring, local, next_):
     eval_eq(consumer, dbl, nv["double"]["x"] + nv["double"]["y"], lv["double"]["x"] + lv["double"]["y"])
     eval_eq(consumer, dbl, nv["is_adding"], one)
     eval_eq(consumer, dbl, nv["is_doubling_not_last"], ring.zero())
-    for i in range(N_BITS):
-        eval_eq(consumer, dbl, nv["bits"][i], lv["bits"][(i + 1) % N_BITS])
+    eval_eq(
+        consumer, dbl, nv["bits"],
+        [lv["bits"][(i + 1) % N_BITS] for i in range(N_BITS)],
+    )
 
     # addition_step -> doubling_step
     ad = lv["is_adding"]
@@ -242,8 +244,7 @@ def eval_g1_scalar_mul(consumer, ring, local, next_):
     eval_eq(consumer, ad, nv["double"]["x"] + nv["double"]["y"], nv["c"]["x"] + nv["c"]["y"])
     eval_eq(consumer, ad, nv["is_adding"], ring.zero())
     eval_eq(consumer, ad, nv["is_doubling_not_last"], is_next_not_last)
-    for i in range(N_BITS):
-        eval_eq(consumer, ad, nv["bits"][i], lv["bits"][i])
+    eval_eq(consumer, ad, nv["bits"], lv["bits"])
 
     round_flags.eval_round_flags(
         consumer,

@@ -231,8 +231,10 @@ def eval_g2_scalar_mul(consumer, ring, local, next_):
     eval_eq(consumer, dbl, point(nv["double"]), point(lv["double"]))
     eval_eq(consumer, dbl, nv["is_adding"], one)
     eval_eq(consumer, dbl, nv["is_doubling_not_last"], ring.zero())
-    for i in range(N_BITS):
-        eval_eq(consumer, dbl, nv["bits"][i], lv["bits"][(i + 1) % N_BITS])
+    eval_eq(
+        consumer, dbl, nv["bits"],
+        [lv["bits"][(i + 1) % N_BITS] for i in range(N_BITS)],
+    )
 
     ad = lv["is_adding"]
     eval_eq(consumer, ad, point(nv["a"]), point(lv["double"]))
@@ -241,8 +243,7 @@ def eval_g2_scalar_mul(consumer, ring, local, next_):
     eval_eq(consumer, ad, point(nv["double"]), point(nv["c"]))
     eval_eq(consumer, ad, nv["is_adding"], ring.zero())
     eval_eq(consumer, ad, nv["is_doubling_not_last"], is_next_not_last)
-    for i in range(N_BITS):
-        eval_eq(consumer, ad, nv["bits"][i], lv["bits"][i])
+    eval_eq(consumer, ad, nv["bits"], lv["bits"])
 
     round_flags.eval_round_flags(
         consumer,

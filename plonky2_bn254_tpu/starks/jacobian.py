@@ -72,7 +72,7 @@ def mixed_add(X1, Y1, Z1, x2, y2):
 
 def to_affine(X, Y, Z):
     """Batched normalization: one Fermat inversion over the whole batch."""
-    z_inv = bigint.inv_mod_p(Z)
+    z_inv = bigint.batch_inv_mod_p(Z)
     z_inv2 = bigint.mulmod(z_inv, z_inv)
     z_inv3 = bigint.mulmod(z_inv2, z_inv)
     return bigint.mulmod(X, z_inv2), bigint.mulmod(Y, z_inv3)

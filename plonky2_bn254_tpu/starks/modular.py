@@ -96,8 +96,7 @@ def eval_modulus_zero(consumer, ring, filt, modulus, input_poly, aux):
     constr = pol.pol_add(constr, pol.pol_adjoin_root(aux_poly, base))
     # constr -= input
     constr = pol.pol_sub(constr, input_poly)
-    for c in constr:
-        consumer.constraint(filt * c)
+    consumer.constraint_many([filt * c for c in constr])
 
 
 def generate_is_modulus_zero(input_limbs: jnp.ndarray):
@@ -120,7 +119,7 @@ def generate_is_modulus_zero(input_limbs: jnp.ndarray):
         32,
     )
     residue = bigint.mod_p(shifted)
-    inv = bigint.inv_mod_p(residue)
+    inv = bigint.batch_inv_mod_p(residue)
     is_zero = jnp.all(residue == 0, axis=-1).astype(jnp.int64)
     # diff = input * inv - 1 + is_zero  (31 coeffs)
     diff = bigint._pol_mul_aa(input_limbs, inv)
@@ -136,5 +135,4 @@ def eval_is_modulus_zero(consumer, ring, filt, modulus, input_limbs, is_zero, au
     one = ring.one()
     diff[0] = diff[0] + is_zero - one
     eval_modulus_zero(consumer, ring, filt, modulus, diff, aux["modulus_zero_aux"])
-    for limb in input_limbs:
-        consumer.constraint(filt * (is_zero * limb))
+    consumer.constraint_many([filt * (is_zero * limb) for limb in input_limbs])
