@@ -22,11 +22,11 @@ import time
 import jax
 
 jax.config.update("jax_enable_x64", True)
-_cache = pathlib.Path(__file__).resolve().parent / ".jax_cache"
+_cache = pathlib.Path(__file__).resolve().parent / f".jax_cache_{jax.default_backend()}"
 _cache.mkdir(exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 import numpy as np
 

@@ -9,6 +9,7 @@ numpy once per tree for the query phase (random access).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import List
 
@@ -62,14 +63,32 @@ def hash_leaves(leaves: jnp.ndarray) -> jnp.ndarray:
     return poseidon.hash_no_pad(leaves)
 
 
-def build_tree(leaves: jnp.ndarray, cap_height: int) -> MerkleTree:
-    """[N, L] uint64 leaf rows -> MerkleTree with 2^cap_height cap."""
-    n = leaves.shape[0]
+@functools.lru_cache(maxsize=None)
+def _tree_fn(n: int, width: int, cap_height: int):
+    """One fused jit building the whole tree for a leaf shape: leaf sponge
+    plus every compression level in a single executable (one compile per
+    shape instead of one per level)."""
     n_levels = (n.bit_length() - 1) - cap_height
     assert n_levels >= 0, "cap larger than tree"
-    digests = hash_leaves(leaves)
-    levels = [digests]
-    for _ in range(n_levels):
-        digests = poseidon.two_to_one(digests[0::2], digests[1::2])
-        levels.append(digests)
+
+    @jax.jit
+    def build(leaves):
+        digests = poseidon.hash_no_pad(leaves)
+        levels = [digests]
+        for _ in range(n_levels):
+            digests = poseidon.two_to_one(digests[0::2], digests[1::2])
+            levels.append(digests)
+        return levels
+
+    return build
+
+
+def device_tree_levels(leaves: jnp.ndarray, cap_height: int):
+    """Device-side tree levels (list of [m, 4] digests), fused per shape."""
+    return _tree_fn(leaves.shape[0], leaves.shape[1], cap_height)(leaves)
+
+
+def build_tree(leaves: jnp.ndarray, cap_height: int) -> MerkleTree:
+    """[N, L] uint64 leaf rows -> MerkleTree with 2^cap_height cap."""
+    levels = device_tree_levels(leaves, cap_height)
     return MerkleTree(levels=[np.asarray(jax.device_get(l)) for l in levels])

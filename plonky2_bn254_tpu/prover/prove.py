@@ -98,15 +98,10 @@ def _rev_cumsum(values: jnp.ndarray) -> jnp.ndarray:
 
 
 def _tree_levels(leaves: jnp.ndarray, cap_height: int):
-    """[N, L] leaves -> list of digest levels (device)."""
-    n = leaves.shape[0]
-    n_levels = (n.bit_length() - 1) - cap_height
-    digests = poseidon.hash_no_pad(leaves)
-    levels = [digests]
-    for _ in range(n_levels):
-        digests = poseidon.two_to_one(digests[0::2], digests[1::2])
-        levels.append(digests)
-    return levels
+    """[N, L] leaves -> list of digest levels (one fused jit per shape)."""
+    from .merkle import device_tree_levels
+
+    return device_tree_levels(leaves, cap_height)
 
 
 def _domain_arrays(n_log: int, rate_bits: int):
@@ -301,15 +296,34 @@ def _ext_batch_inv(v: Ext) -> Ext:
 
 def _make_fri_oracle(n_polys: int, N: int):
     @jax.jit
-    def fri_oracle(all_lde, alpha, s_zeta, s_zeta_g, zeta, zeta_g, alpha_off):
-        """alpha / s_* / zeta* / alpha_off: [2] uint64 extension pairs."""
+    def fri_oracle(all_lde, alpha_pows, s_zeta, s_zeta_g, zeta, zeta_g, alpha_off):
+        """alpha_pows: [n_polys, 2] host-precomputed powers of the FRI alpha
+        (c0, c1); other args are [2] uint64 extension pairs.
+
+        S = sum_j alpha^j f_j as a direct weighted mod-sum (log-depth
+        reduction) — an unrolled 565-step Horner chain compiles into a
+        pathologically slow XLA CPU executable.
+        """
         xs = gl.mul_const(
             jnp.asarray(_xs_np(N)), gl.MULTIPLICATIVE_GROUP_GENERATOR
         )
-        S = Ext.zero((N,))
-        for j in range(n_polys - 1, -1, -1):
-            S = ext_scale(S, alpha[0], alpha[1])
-            S = Ext(gl.add(S.c0, all_lde[j]), S.c1)
+        # f_j are base-field: (alpha^j * f_j).c0 = p0_j f_j, .c1 = p1_j f_j
+        t0 = gl.mul(all_lde, alpha_pows[:, 0:1])
+        t1 = gl.mul(all_lde, alpha_pows[:, 1:2])
+
+        def reduce0(arr):
+            while arr.shape[0] > 1:
+                m = arr.shape[0]
+                if m % 2 == 1:
+                    arr = jnp.concatenate(
+                        [gl.add(arr[:1], arr[m - 1 :]), arr[1 : m - 1]], axis=0
+                    )
+                    m -= 1
+                half = m // 2
+                arr = gl.add(arr[:half], arr[half:])
+            return arr[0]
+
+        S = Ext(reduce0(t0), reduce0(t1))
 
         def reduced(point, s_at):
             diff = Ext(
@@ -513,11 +527,16 @@ def prove(
 
     fri_oracle = _cached((key, "fri_oracle"), lambda: _make_fri_oracle(n_polys, N))
     pair = lambda e: jnp.asarray(np.array([e.c0, e.c1], dtype=np.uint64))
+    apow = GLExt.one()
+    alpha_pows_rows = []
+    for _ in range(n_polys):
+        alpha_pows_rows.append([apow.c0, apow.c1])
+        apow = apow * fri_alpha
     with tt.scope("fri oracle"):
         all_lde = jnp.concatenate([t_lde, a_lde, q_lde], axis=0)
         F0, F1 = fri_oracle(
             all_lde,
-            pair(fri_alpha),
+            jnp.asarray(np.array(alpha_pows_rows, dtype=np.uint64)),
             pair(S_zeta),
             pair(S_zeta_g),
             pair(zeta),

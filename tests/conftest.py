@@ -28,8 +28,8 @@ def cpu_devices():
 # small kernels; cache them across test processes.
 import pathlib
 
-_cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+_cache_dir = pathlib.Path(__file__).resolve().parent.parent / f".jax_cache_{jax.default_backend()}"
 _cache_dir.mkdir(exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
