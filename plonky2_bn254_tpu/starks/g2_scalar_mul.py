@@ -175,6 +175,18 @@ def add_range_checks(rows: jnp.ndarray) -> jnp.ndarray:
     return rows
 
 
+class _cache_off:
+    """jax's persistent-cache writer segfaults serializing the (very large)
+    G2 trace executable; disable the disk cache just for this compile."""
+
+    def __enter__(self):
+        self.prev = jax.config.jax_compilation_cache_dir
+        jax.config.update("jax_compilation_cache_dir", None)
+
+    def __exit__(self, *a):
+        jax.config.update("jax_compilation_cache_dir", self.prev)
+
+
 def generate_trace(inputs, min_rows: int = 1 << LIMB_BITS) -> jnp.ndarray:
     """inputs: list of (s, ((x0,x1),(y0,y1)), ((ox0,ox1),(oy0,oy1)), ts)."""
     n = len(inputs)
@@ -190,9 +202,10 @@ def generate_trace(inputs, min_rows: int = 1 << LIMB_BITS) -> jnp.ndarray:
     oy1 = from_ints([o[1][1] for _, _, o, _ in inputs])
     s_bits = bits_from_ints([s for s, _, _, _ in inputs])
     ts = jnp.asarray(np.array([t for _, _, _, t in inputs], dtype=np.int64))
-    rows = generate_trace_core(
-        (x0, x1), (y0, y1), (ox0, ox1), (oy0, oy1), s_bits, ts
-    )
+    with _cache_off():
+        rows = generate_trace_core(
+            (x0, x1), (y0, y1), (ox0, ox1), (oy0, oy1), s_bits, ts
+        )
     pad = jnp.zeros((num_rows - rows.shape[0], LAYOUT.width), jnp.uint64)
     return add_range_checks(jnp.concatenate([rows, pad], axis=0))
 
