@@ -54,10 +54,12 @@ RANGE_COUNTER_COL = LAYOUT.col("range_counter")
 
 
 @jax.jit
-def generate_trace_core(
-    x_limbs, y_limbs, ox_limbs, oy_limbs, s_bits, timestamps
-):
-    """[n,16] x/y/offset limbs, [n,256] bits, [n] ts -> [n*512, 781] u64."""
+def _chains(x_limbs, y_limbs, ox_limbs, oy_limbs, s_bits):
+    """Stage 1: Jacobian scans + batched affine normalization.
+
+    Kept as its own executable — the remote TPU compiler OOMs on the
+    fused trace graph, so trace generation runs as three jitted stages
+    (chains -> add witnesses -> row assembly)."""
     n = x_limbs.shape[0]
 
     # double chain d_k = 2^k * x, k = 0..256 (Jacobian scan, then normalize)
@@ -98,16 +100,15 @@ def generate_trace_core(
     pp_ax, pp_ay = jacobian.to_affine(  # p_{k-1} affine
         p_prev_jac[0], p_prev_jac[1], p_prev_jac[2]
     )
+    return d_ax, d_ay, p_ax, p_ay, pp_ax, pp_ay
 
-    # add rows (counter 2k): a = p_{k-1}, b = d_k; c = a + b
-    add_cx, add_cy, add_aux = g1_add.generate_g1_add(
-        pp_ax, pp_ay, d_ax[:N_BITS], d_ay[:N_BITS]
-    )
-    # double rows (counter 2k+1): a = b = d_k; c = d_{k+1}
-    dbl_cx, dbl_cy, dbl_aux = g1_add.generate_g1_add(
-        d_ax[:N_BITS], d_ay[:N_BITS], d_ax[:N_BITS], d_ay[:N_BITS]
-    )
 
+@jax.jit
+def _assemble(d_ax, d_ay, p_ax, p_ay, pp_ax, pp_ay,
+              add_cx, add_cy, add_aux, dbl_cx, dbl_cy, dbl_aux,
+              s_bits, timestamps):
+    """Stage 3: row assembly from chain points and add witnesses."""
+    n = s_bits.shape[0]
     k_idx = jnp.arange(N_BITS)
     rot_idx = (k_idx[:, None] + k_idx[None, :]) % N_BITS
     bits_rot = jnp.transpose(s_bits[:, rot_idx], (1, 0, 2))  # [256, n, 256]
@@ -161,6 +162,24 @@ def generate_trace_core(
         n * G1_PERIOD, LAYOUT.width
     )
     return per_op.astype(jnp.uint64)
+
+
+def generate_trace_core(x_limbs, y_limbs, ox_limbs, oy_limbs, s_bits, timestamps):
+    """[n,16] x/y/offset limbs, [n,256] bits, [n] ts -> [n*512, 781] u64."""
+    d_ax, d_ay, p_ax, p_ay, pp_ax, pp_ay = _chains(
+        x_limbs, y_limbs, ox_limbs, oy_limbs, s_bits
+    )
+    add_cx, add_cy, add_aux = g1_add.generate_g1_add(
+        pp_ax, pp_ay, d_ax[:N_BITS], d_ay[:N_BITS]
+    )
+    dbl_cx, dbl_cy, dbl_aux = g1_add.generate_g1_add(
+        d_ax[:N_BITS], d_ay[:N_BITS], d_ax[:N_BITS], d_ay[:N_BITS]
+    )
+    return _assemble(
+        d_ax, d_ay, p_ax, p_ay, pp_ax, pp_ay,
+        add_cx, add_cy, add_aux, dbl_cx, dbl_cy, dbl_aux,
+        s_bits, timestamps,
+    )
 
 
 @jax.jit
