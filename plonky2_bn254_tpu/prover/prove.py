@@ -172,50 +172,62 @@ def _make_commit_coeffs(rate_bits: int, cap_height: int):
     return commit
 
 
+def _tree_reduce0(arr):
+    """mod-p sum over axis 0 via log-depth halving."""
+    while arr.shape[0] > 1:
+        m = arr.shape[0]
+        if m % 2 == 1:
+            arr = jnp.concatenate(
+                [gl.add(arr[:1], arr[m - 1 :]), arr[1 : m - 1]], axis=0
+            )
+            m -= 1
+        half = m // 2
+        arr = gl.add(arr[:half], arr[half:])
+    return arr[0]
+
+
 def _make_aux(stark: Stark):
+    """Fully vectorized aux generation: helper pairing via strided slices,
+    CTL combination via host-precomputed per-column weight vectors — keeps
+    the jitted graph small enough for the remote TPU compiler."""
+    lookup_col_idx = [
+        jnp.asarray(np.array(lk.columns, dtype=np.int64)) for lk in stark.lookups
+    ]
+
     @jax.jit
-    def aux_core(trace_cols, gammas, ctl_beta_pows):
-        """gammas: [num_challenges] u64; ctl_beta_pows: list (per challenge)
-        of lists (per ctl) of [row_len] u64 power tables."""
-        n = trace_cols.shape[-1]
-        ring = GLRing((n,))
+    def aux_core(trace_cols, gammas, ctl_weight_specs):
+        """gammas: [num_challenges]; ctl_weight_specs: list (per challenge)
+        of lists (per ctl) of (col_idx [k], weights [k]) arrays."""
         aux = []
-        for i in range(len(ctl_beta_pows)):
+        for i in range(len(ctl_weight_specs)):
             gamma_c = gammas[i]
-            for lk in stark.lookups:
-                n_h = cons.helper_count(lk)
-                cols = trace_cols[jnp.asarray(np.array(lk.columns))]
-                shifted = gl.add(cols, gamma_c)
-                inv_cols = gl.batch_inv(shifted)
+            for li, lk in enumerate(stark.lookups):
+                cols = trace_cols[lookup_col_idx[li]]
+                inv_cols = gl.batch_inv(gl.add(cols, gamma_c))
+                even = inv_cols[0::2]
+                odd = inv_cols[1::2]
+                if odd.shape[0] < even.shape[0]:
+                    odd = jnp.concatenate(
+                        [odd, jnp.zeros_like(even[:1])], axis=0
+                    )
+                helpers = gl.add(even, odd)  # [n_h, n]
+                h_sum = _tree_reduce0(helpers)
                 table_inv = gl.batch_inv(
                     gl.add(trace_cols[lk.table_col], gamma_c)
                 )
-                helpers = []
-                for k in range(n_h):
-                    h = inv_cols[2 * k]
-                    if 2 * k + 1 < len(lk.columns):
-                        h = gl.add(h, inv_cols[2 * k + 1])
-                    helpers.append(h)
-                    aux.append(h)
-                h_sum = helpers[0]
-                for h in helpers[1:]:
-                    h_sum = gl.add(h_sum, h)
                 freq = trace_cols[lk.freq_col]
                 contribution = gl.sub(h_sum, gl.mul(freq, table_inv))
-                aux.append(_rev_cumsum(contribution))
+                aux.append(helpers)
+                aux.append(_rev_cumsum(contribution)[None])
             for c_idx, ctl in enumerate(stark.ctls):
-                row_vals = [
-                    ring.wrap(trace_cols[j]) for j in range(trace_cols.shape[0])
-                ]
-                combined = ctl.eval_row(row_vals, ring)
-                pows = ctl_beta_pows[i][c_idx]
-                acc = ring.const(gamma_c)
-                for j, v in enumerate(combined):
-                    acc = acc + v * ring.const(pows[j])
+                col_idx, weights = ctl_weight_specs[i][c_idx]
+                gathered = trace_cols[col_idx]  # [k, n]
+                weighted = gl.mul(gathered, weights[:, None])
+                acc = gl.add(_tree_reduce0(weighted), gamma_c)
                 filt = trace_cols[ctl.filter_col]
-                contribution = gl.mul(filt, gl.batch_inv(acc.v))
-                aux.append(_rev_cumsum(contribution))
-        return jnp.stack(aux, axis=0)
+                contribution = gl.mul(filt, gl.batch_inv(acc))
+                aux.append(_rev_cumsum(contribution)[None])
+        return jnp.concatenate(aux, axis=0)
 
     return aux_core
 
@@ -424,14 +436,18 @@ def prove(
     ]
     betas_np = np.array([b for b, _ in challenges], dtype=np.uint64)
     gammas_np = np.array([g for _, g in challenges], dtype=np.uint64)
-    # host-precomputed beta power tables per (challenge, ctl)
-    ctl_beta_pows = [
+    # host-precomputed per-column CTL weight vectors per (challenge, ctl)
+    ctl_weight_specs = [
         [
-            jnp.asarray(
-                np.array(
-                    [pow(int(b), j, gl.P) for j in range(len(ctl.columns))],
-                    dtype=np.uint64,
-                )
+            (
+                jnp.asarray(
+                    np.array([c for c, _ in ctl.flat_weights(int(b), gl.P)],
+                             dtype=np.int64)
+                ),
+                jnp.asarray(
+                    np.array([w for _, w in ctl.flat_weights(int(b), gl.P)],
+                             dtype=np.uint64)
+                ),
             )
             for ctl in stark.ctls
         ]
@@ -440,7 +456,7 @@ def prove(
 
     # ---- S2: aux columns + commit -------------------------------------
     with tt.scope("aux"):
-        aux_cols = aux_core(trace_cols, jnp.asarray(gammas_np), ctl_beta_pows)
+        aux_cols = aux_core(trace_cols, jnp.asarray(gammas_np), ctl_weight_specs)
         a_coeffs, a_lde, a_levels = commit(aux_cols)
         a_levels = [np.asarray(l) for l in a_levels]
     aux_tree = MerkleTree(levels=a_levels)

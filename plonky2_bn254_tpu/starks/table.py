@@ -48,6 +48,20 @@ class CtlSpec:
                 out.append(acc)
         return out
 
+    def flat_weights(self, beta: int, p: int):
+        """Host: [(raw column, weight)] s.t. combine(row) = gamma +
+        sum w_c * row[c]; weights fold beta^j and le_bits powers of two."""
+        out = []
+        b_pow = 1
+        for kind, spec in [(c[0], c[1]) for c in self.columns]:
+            if kind == "single":
+                out.append((spec, b_pow))
+            else:
+                for j, col in enumerate(spec):
+                    out.append((col, b_pow * (1 << j) % p))
+            b_pow = b_pow * beta % p
+        return out
+
 
 @dataclass(frozen=True)
 class Stark:
