@@ -188,26 +188,42 @@ def inv(a):
 
 @jax.jit
 def batch_inv(x):
-    """Elementwise inverse of a whole tensor with ONE Fermat inversion.
+    """Elementwise inverse via chunked Montgomery batching.
 
-    Montgomery's trick via log-depth prefix/suffix products: 3 associative
-    scans + one exp chain instead of one 64-squaring chain per element.
+    Rows of CHUNK elements get prefix/suffix product scans; the per-row
+    totals are inverted recursively (bottoming out in one vectorized
+    Fermat chain).  Chunking keeps every associative_scan short — a single
+    scan over tens of millions of elements OOMs the remote TPU compiler.
     Zero entries map to zero (reference Inv convention).
     """
     shape = x.shape
     flat = x.reshape(-1)
     is_zero = flat == _c(0)
     safe = jnp.where(is_zero, _c(1), flat)
-    incl = jax.lax.associative_scan(mul, safe)
-    total_inv = inv(incl[-1])
-    # exclusive prefix: prod of elements before i
-    pre = jnp.concatenate([jnp.ones(1, _U64), incl[:-1]])
-    # suffix product via reversed scan
-    incl_rev = jax.lax.associative_scan(mul, safe[::-1])
-    suf = jnp.concatenate([incl_rev[-2::-1], jnp.ones(1, _U64)])
-    out = mul(mul(pre, suf), total_inv)
+    out = _batch_inv_flat(safe)
     out = jnp.where(is_zero, _c(0), out)
     return out.reshape(shape)
+
+
+_BINV_CHUNK = 1024
+
+
+def _batch_inv_flat(safe: jnp.ndarray) -> jnp.ndarray:
+    m = safe.shape[0]
+    if m <= 4 * _BINV_CHUNK:
+        return inv(safe)
+    k = _BINV_CHUNK
+    pad = (-m) % k
+    if pad:
+        safe = jnp.concatenate([safe, jnp.ones(pad, _U64)])
+    mat = safe.reshape(-1, k)
+    incl = jax.lax.associative_scan(mul, mat, axis=1)
+    totals_inv = _batch_inv_flat(incl[:, -1])
+    pre = jnp.concatenate([jnp.ones_like(mat[:, :1]), incl[:, :-1]], axis=1)
+    incl_rev = jax.lax.associative_scan(mul, mat[:, ::-1], axis=1)[:, ::-1]
+    suf = jnp.concatenate([incl_rev[:, 1:], jnp.ones_like(mat[:, :1])], axis=1)
+    out = mul(mul(pre, suf), totals_inv[:, None])
+    return out.reshape(-1)[: m]
 
 
 def batch_dot_accumulate(terms):

@@ -228,12 +228,25 @@ def batch_inv_mod_p(a: jnp.ndarray) -> jnp.ndarray:
     is_zero = jnp.all(flat == 0, axis=-1, keepdims=True)
     one = jnp.zeros_like(flat).at[..., 0].set(1)
     safe = jnp.where(is_zero, one, flat)
-    incl = jax.lax.associative_scan(mulmod, safe, axis=0)
-    total_inv = inv_mod_p(incl[-1])
-    pre = jnp.concatenate([one[:1], incl[:-1]], axis=0)
-    incl_rev = jax.lax.associative_scan(mulmod, safe[::-1], axis=0)
-    suf = jnp.concatenate([incl_rev[-2::-1], one[:1]], axis=0)
-    out = mulmod(mulmod(pre, suf), total_inv)
+    # chunked scans (a single giant scan OOMs the remote TPU compiler)
+    m = safe.shape[0]
+    k = 256
+    pad = (-m) % k
+    if pad:
+        safe_p = jnp.concatenate([safe, jnp.tile(one[:1], (pad, 1))], axis=0)
+    else:
+        safe_p = safe
+    mat = safe_p.reshape(-1, k, N_LIMBS)
+    incl = jax.lax.associative_scan(mulmod, mat, axis=1)
+    totals = incl[:, -1]
+    # per-row totals inverted with one vectorized Fermat chain
+    totals_inv = inv_mod_p(totals)
+    one_row = jnp.tile(one[:1][None], (mat.shape[0], 1, 1))
+    pre = jnp.concatenate([one_row, incl[:, :-1]], axis=1)
+    incl_rev = jax.lax.associative_scan(mulmod, mat[:, ::-1], axis=1)[:, ::-1]
+    suf = jnp.concatenate([incl_rev[:, 1:], one_row], axis=1)
+    out = mulmod(mulmod(pre, suf), totals_inv[:, None])
+    out = out.reshape(-1, N_LIMBS)[:m]
     out = jnp.where(is_zero, 0, out)
     return out.reshape(shape)
 
