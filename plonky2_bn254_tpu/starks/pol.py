@@ -49,7 +49,15 @@ def pol_mul_wide(a, b):
 
     Covers the reference's pol_mul_wide (16x16 -> 31) and pol_mul_wide2
     (17x16 -> 32 after zero-extension by the caller).
+
+    GL-ring inputs take a stacked tensor path (the naive 272-term expansion
+    made the jitted quotient graph too large for the remote TPU compiler);
+    scalar rings keep the generic loop.
     """
+    from .air import GL
+
+    if isinstance(a[0], GL) and isinstance(b[0], GL):
+        return _pol_mul_wide_stacked(a, b)
     n_out = len(a) + len(b) - 1
     out = [None] * n_out
     for i, ai in enumerate(a):
@@ -58,6 +66,22 @@ def pol_mul_wide(a, b):
             k = i + j
             out[k] = t if out[k] is None else out[k] + t
     return out
+
+
+def _pol_mul_wide_stacked(a, b):
+    import jax.numpy as jnp
+
+    from ..field import goldilocks as gl
+    from .air import GL
+
+    na, nb = len(a), len(b)
+    n_out = na + nb - 1
+    B = jnp.stack([x.v for x in b])  # [nb, ...]
+    out = jnp.zeros((n_out,) + B.shape[1:], jnp.uint64)
+    for i in range(na):
+        prod = gl.mul(a[i].v, B)
+        out = out.at[i : i + nb].set(gl.add(out[i : i + nb], prod))
+    return [GL(out[k]) for k in range(n_out)]
 
 
 def pol_mul_scalar(a, c):
