@@ -233,28 +233,37 @@ def _make_aux(stark: Stark):
 
 
 def _make_quotient(stark: Stark, n_log: int, config: StarkConfig):
+    """Quotient evaluation in LDE-point chunks.
+
+    One chunk executable is compiled and reused across the domain — both
+    the graph and (critically) its buffers stay small enough for the
+    remote TPU compiler's memory cap.  The final Z_H division / iNTT /
+    degree split runs in a second small jit over the assembled accs.
+    """
     n = 1 << n_log
     rate = config.rate_bits
     N = n << rate
     step = 1 << rate
+    n_chunks = max(1, N // (1 << 14))
+    C = N // n_chunks
     shift_inv_pows_np = ntt._coset_powers(
         N, gl.h_inv(gl.MULTIPLICATIVE_GROUP_GENERATOR)
     )
 
     @jax.jit
-    def quotient_core(t_lde, a_lde, alphas, alpha_pows, betas, gammas, totals):
-        xs, inv_z_h, z_last, l_first, l_last = _domain_arrays(n_log, rate)
-        ring = GLRing((N,))
-        local = [GL(t_lde[j]) for j in range(t_lde.shape[0])]
-        next_ = [GL(jnp.roll(t_lde[j], -step)) for j in range(t_lde.shape[0])]
-        aux_local = [GL(a_lde[j]) for j in range(a_lde.shape[0])]
-        aux_next = [GL(jnp.roll(a_lde[j], -step)) for j in range(a_lde.shape[0])]
+    def chunk_eval(t_loc, t_nxt, a_loc, a_nxt, zl, lf, ll,
+                   alphas, alpha_pows, betas, gammas, totals):
+        ring = GLRing((C,))
+        local = [GL(t_loc[j]) for j in range(t_loc.shape[0])]
+        next_ = [GL(t_nxt[j]) for j in range(t_nxt.shape[0])]
+        aux_local = [GL(a_loc[j]) for j in range(a_loc.shape[0])]
+        aux_next = [GL(a_nxt[j]) for j in range(a_nxt.shape[0])]
         consumer = ConstraintConsumer(
             ring,
             [ring.const(alphas[i]) for i in range(alphas.shape[0])],
-            GL(z_last),
-            GL(l_first),
-            GL(l_last),
+            GL(zl),
+            GL(lf),
+            GL(ll),
             alpha_pows=alpha_pows,
         )
         challenges = [(betas[i], gammas[i]) for i in range(betas.shape[0])]
@@ -263,24 +272,43 @@ def _make_quotient(stark: Stark, n_log: int, config: StarkConfig):
             for i in range(totals.shape[0])
         ]
         cons.eval_all_constraints(
-            consumer,
-            ring,
-            stark,
-            local,
-            next_,
-            aux_local,
-            aux_next,
-            challenges,
-            ctl_totals,
+            consumer, ring, stark, local, next_, aux_local, aux_next,
+            challenges, ctl_totals,
         )
+        return jnp.stack([acc.v for acc in consumer.accs])
+
+    @jax.jit
+    def rolled(arr):
+        return jnp.roll(arr, -step, axis=1)
+
+    @jax.jit
+    def finish(accs):
+        _, inv_z_h, _, _, _ = _domain_arrays(n_log, rate)
         shift_inv_pows = jnp.asarray(shift_inv_pows_np)
         q_chunks = []
-        for acc in consumer.accs:
-            q_vals = gl.mul(acc.v, inv_z_h)
+        for i in range(accs.shape[0]):
+            q_vals = gl.mul(accs[i], inv_z_h)
             q_coeffs = gl.mul(ntt.intt(q_vals), shift_inv_pows)
             q_chunks.append(q_coeffs[:n])
             q_chunks.append(q_coeffs[n:])
         return jnp.stack(q_chunks)
+
+    def quotient_core(t_lde, a_lde, alphas, alpha_pows, betas, gammas, totals):
+        xs, inv_z_h, z_last, l_first, l_last = _domain_arrays(n_log, rate)
+        t_nxt = rolled(t_lde)
+        a_nxt = rolled(a_lde)
+        acc_parts = []
+        for ci in range(n_chunks):
+            sl = slice(ci * C, (ci + 1) * C)
+            acc_parts.append(
+                chunk_eval(
+                    t_lde[:, sl], t_nxt[:, sl], a_lde[:, sl], a_nxt[:, sl],
+                    z_last[sl], l_first[sl], l_last[sl],
+                    alphas, alpha_pows, betas, gammas, totals,
+                )
+            )
+        accs = jnp.concatenate(acc_parts, axis=1)
+        return finish(accs)
 
     return quotient_core
 
