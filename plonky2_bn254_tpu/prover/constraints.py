@@ -67,6 +67,7 @@ def eval_lookup_ctl_constraints(
     aux_next,
     challenges,
     ctl_totals,
+    ctl_weight_specs=None,
 ):
     """Append lookup/CTL constraints (order must match aux generation).
 
@@ -74,7 +75,22 @@ def eval_lookup_ctl_constraints(
     scalars (converted through ring.const, so the same code serves the
     jitted prover and the host verifier); `ctl_totals[i][c]` likewise.
     `local`/`aux_local` etc are lists of ring values.
+
+    `ctl_weight_specs` (GL ring only): per (challenge, ctl) precomputed
+    (col_idx, weights) arrays — enables the stacked fast paths that keep
+    the jitted quotient graph within the remote TPU compiler's limits.
+    The emitted constraint VALUES and ORDER are identical either way.
     """
+    from ..starks.air import GL
+
+    gl_fast = (
+        ctl_weight_specs is not None
+        and isinstance(local[0], GL)
+        and getattr(consumer, "alpha_pows", None) is not None
+    )
+    if gl_fast:
+        import jax.numpy as jnp
+
     for i, (beta, gamma) in enumerate(challenges):
         off = i * (aux_width(stark, 1))
         gamma_v = ring.const(gamma)
@@ -85,22 +101,43 @@ def eval_lookup_ctl_constraints(
             helpers = aux_local[off : off + n_h]
             z_loc = aux_local[off + n_h]
             z_next = aux_next[off + n_h]
-            # helper well-formedness
-            for k in range(n_h):
-                c1 = local[lk.columns[2 * k]]
-                if 2 * k + 1 < len(lk.columns):
-                    c2 = local[lk.columns[2 * k + 1]]
-                    t1 = gamma_v + c1
-                    t2 = gamma_v + c2
-                    consumer.constraint(helpers[k] * t1 * t2 - t1 - t2)
-                else:
-                    consumer.constraint(helpers[k] * (gamma_v + c1) - one)
+            n_pairs = len(lk.columns) // 2
+            odd = len(lk.columns) % 2 == 1
+            if gl_fast:
+                cols = jnp.stack([local[c].v for c in lk.columns])
+                shifted = gl.add(cols, gamma_v.v[None])
+                hs = jnp.stack([h.v for h in helpers])
+                t1 = shifted[0::2][:n_pairs]
+                t2 = shifted[1::2]
+                pair_c = gl.sub(
+                    gl.mul(gl.mul(hs[:n_pairs], t1), t2), gl.add(t1, t2)
+                )
+                consumer.constraint_many_arr(pair_c)
+                if odd:
+                    consumer.constraint(
+                        helpers[-1] * GL(shifted[-1]) - one
+                    )
+            else:
+                for k in range(n_h):
+                    c1 = local[lk.columns[2 * k]]
+                    if 2 * k + 1 < len(lk.columns):
+                        c2 = local[lk.columns[2 * k + 1]]
+                        t1 = gamma_v + c1
+                        t2 = gamma_v + c2
+                        consumer.constraint(helpers[k] * t1 * t2 - t1 - t2)
+                    else:
+                        consumer.constraint(helpers[k] * (gamma_v + c1) - one)
             # Z recurrence (backwards sum)
             table = gamma_v + local[lk.table_col]
             freq = local[lk.freq_col]
-            h_sum = helpers[0]
-            for h in helpers[1:]:
-                h_sum = h_sum + h
+            if gl_fast:
+                from ..prover.prove import _tree_reduce0
+
+                h_sum = GL(_tree_reduce0(jnp.stack([h.v for h in helpers])))
+            else:
+                h_sum = helpers[0]
+                for h in helpers[1:]:
+                    h_sum = h_sum + h
             consumer.constraint_transition(
                 (z_loc - z_next - h_sum) * table + freq
             )
@@ -110,17 +147,28 @@ def eval_lookup_ctl_constraints(
         for c_idx, ctl in enumerate(stark.ctls):
             z_loc = aux_local[off]
             z_next = aux_next[off]
-            combined = ctl.eval_row(local, ring)
-            acc = gamma_v
-            b_pow = one
-            for v in combined:
-                acc = acc + v * b_pow
-                b_pow = b_pow * beta_v
+            if gl_fast:
+                from ..prover.prove import _tree_reduce0
+
+                static_cols, weight_arrays = ctl_weight_specs
+                cols_static = static_cols[c_idx]
+                weights = weight_arrays[i][c_idx]
+                gathered = jnp.stack([local[c].v for c in cols_static])
+                weighted = gl.mul(gathered, weights[:, None])
+                acc = GL(gl.add(_tree_reduce0(weighted), gamma_v.v))
+            else:
+                combined = ctl.eval_row(local, ring)
+                acc = gamma_v
+                b_pow = one
+                for v in combined:
+                    acc = acc + v * b_pow
+                    b_pow = b_pow * beta_v
             filt = local[ctl.filter_col]
             consumer.constraint_transition((z_loc - z_next) * acc - filt)
             consumer.constraint_last_row(z_loc * acc - filt)
             consumer.constraint_first_row(z_loc - ring.const(ctl_totals[i][c_idx]))
             off += 1
+
 
 
 def eval_all_constraints(
@@ -133,8 +181,10 @@ def eval_all_constraints(
     aux_next,
     challenges,
     ctl_totals,
+    ctl_weight_specs=None,
 ):
     stark.eval_fn(consumer, ring, local, next_)
     eval_lookup_ctl_constraints(
-        consumer, ring, stark, local, next_, aux_local, aux_next, challenges, ctl_totals
+        consumer, ring, stark, local, next_, aux_local, aux_next,
+        challenges, ctl_totals, ctl_weight_specs=ctl_weight_specs,
     )

@@ -249,10 +249,16 @@ def _make_quotient(stark: Stark, n_log: int, config: StarkConfig):
     shift_inv_pows_np = ntt._coset_powers(
         N, gl.h_inv(gl.MULTIPLICATIVE_GROUP_GENERATOR)
     )
+    # CTL column index lists are challenge-independent: keep them STATIC in
+    # the closure (only the beta-dependent weights are traced arguments).
+    ctl_static_cols = tuple(
+        tuple(c for c, _ in ctl.flat_weights(1, gl.P)) for ctl in stark.ctls
+    )
 
     @jax.jit
     def chunk_eval(t_loc, t_nxt, a_loc, a_nxt, zl, lf, ll,
-                   alphas, alpha_pows, betas, gammas, totals):
+                   alphas, alpha_pows, betas, gammas, totals,
+                   ctl_weight_specs):
         ring = GLRing((C,))
         local = [GL(t_loc[j]) for j in range(t_loc.shape[0])]
         next_ = [GL(t_nxt[j]) for j in range(t_nxt.shape[0])]
@@ -274,6 +280,7 @@ def _make_quotient(stark: Stark, n_log: int, config: StarkConfig):
         cons.eval_all_constraints(
             consumer, ring, stark, local, next_, aux_local, aux_next,
             challenges, ctl_totals,
+            ctl_weight_specs=(ctl_static_cols, ctl_weight_specs),
         )
         return jnp.stack([acc.v for acc in consumer.accs])
 
@@ -293,7 +300,8 @@ def _make_quotient(stark: Stark, n_log: int, config: StarkConfig):
             q_chunks.append(q_coeffs[n:])
         return jnp.stack(q_chunks)
 
-    def quotient_core(t_lde, a_lde, alphas, alpha_pows, betas, gammas, totals):
+    def quotient_core(t_lde, a_lde, alphas, alpha_pows, betas, gammas, totals,
+                      ctl_weight_specs):
         xs, inv_z_h, z_last, l_first, l_last = _domain_arrays(n_log, rate)
         t_nxt = rolled(t_lde)
         a_nxt = rolled(a_lde)
@@ -305,6 +313,7 @@ def _make_quotient(stark: Stark, n_log: int, config: StarkConfig):
                     t_lde[:, sl], t_nxt[:, sl], a_lde[:, sl], a_nxt[:, sl],
                     z_last[sl], l_first[sl], l_last[sl],
                     alphas, alpha_pows, betas, gammas, totals,
+                    ctl_weight_specs,
                 )
             )
         accs = jnp.concatenate(acc_parts, axis=1)
@@ -519,6 +528,7 @@ def prove(
             jnp.asarray(betas_np),
             jnp.asarray(gammas_np),
             jnp.asarray(ctl_totals_np),
+            [[w for (_, w) in per_ch] for per_ch in ctl_weight_specs],
         )
         q_lde, q_levels = commit_c(q_chunks)
         q_levels = [np.asarray(l) for l in q_levels]

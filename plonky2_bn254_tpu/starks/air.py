@@ -135,6 +135,15 @@ class ConstraintConsumer:
         import jax.numpy as _jnp
 
         stacked = _jnp.stack([c.v for c in items])  # [k, rows]
+        self.constraint_many_arr(stacked)
+
+    def constraint_many_arr(self, stacked):
+        """Fold an already-stacked [k, rows] uint64 constraint group."""
+        k = stacked.shape[0]
+        if k == 0:
+            return
+        import jax.numpy as _jnp
+
         for i in range(len(self.accs)):
             # weights alpha^(k-1-j) for constraint j
             w = self.alpha_pows[i, :k][::-1]
@@ -167,11 +176,19 @@ def eval_eq(consumer, filt, a, b):
     """filter * (a - b) = 0; a/b are values or equal-length lists of values.
 
     Rebuild of the reference's EvalEq trait (common/eq.rs:11-67); list
-    inputs fold through constraint_many (one weighted mod-sum in the
+    inputs fold through constraint_many (stack-first tensor math in the
     jitted prover, plain loop for scalar rings).
     """
     if isinstance(a, (list, tuple)):
         assert len(a) == len(b)
-        consumer.constraint_many([filt * (x - y) for x, y in zip(a, b)])
+        if (
+            isinstance(a[0], GL)
+            and getattr(consumer, "alpha_pows", None) is not None
+        ):
+            A = jnp.stack([x.v for x in a])
+            B = jnp.stack([y.v for y in b])
+            consumer.constraint_many_arr(gl.mul(filt.v[None], gl.sub(A, B)))
+        else:
+            consumer.constraint_many([filt * (x - y) for x, y in zip(a, b)])
     else:
         consumer.constraint(filt * (a - b))

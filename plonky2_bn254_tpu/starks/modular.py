@@ -75,7 +75,15 @@ def eval_modulus_zero(consumer, ring, filt, modulus, input_poly, aux):
     ModulusZeroAux of ring values (is_quot_positive scalar, quot_abs 17,
     aux_lo/aux_hi 31 each).  Mirrors eval_modulus_zero
     (modulus_zero.rs:163-198) exactly, degree <= 3.
+
+    GL-ring consumers with alpha power tables route through a fully
+    stacked tensor path (same constraint values, same order) — the
+    per-coefficient expansion is too large for the remote TPU compiler.
     """
+    from .air import GL
+
+    if isinstance(filt, GL) and getattr(consumer, "alpha_pows", None) is not None:
+        return _eval_modulus_zero_stacked(consumer, filt, input_poly, aux)
     iqp = aux["is_quot_positive"]
     quot_abs = aux["quot_abs"]
     aux_lo = aux["aux_lo"]
@@ -97,6 +105,52 @@ def eval_modulus_zero(consumer, ring, filt, modulus, input_poly, aux):
     # constr -= input
     constr = pol.pol_sub(constr, input_poly)
     consumer.constraint_many([filt * c for c in constr])
+
+
+def _eval_modulus_zero_stacked(consumer, filt, input_poly, aux):
+    """Stacked mirror of the generic path (GL ring only)."""
+    import jax.numpy as jnp
+
+    from ..field import goldilocks as gl
+    from .air import GL
+
+    iqp = aux["is_quot_positive"].v
+    quot = jnp.stack([v.v for v in aux["quot_abs"]])  # [17, C]
+    lo = jnp.stack([v.v for v in aux["aux_lo"]])  # [31, C]
+    hi = jnp.stack([v.v for v in aux["aux_hi"]])  # [31, C]
+    fv = filt.v
+
+    consumer.constraint(GL(gl.mul(fv, gl.sub(gl.mul(iqp, iqp), iqp))))
+    sign = gl.sub(gl.add(iqp, iqp), jnp.uint64(1))
+    quot_s = gl.mul(quot, sign[None])
+    # constr = q(x) * m(x): convolution with the 16 CONSTANT modulus limbs
+    prod = jnp.zeros((2 * N_LIMBS,) + iqp.shape, jnp.uint64)
+    for j, m_j in enumerate(MOD_LIMBS):
+        if m_j == 0:
+            continue
+        term = gl.mul_const(quot_s, int(m_j))
+        prod = prod.at[j : j + 17].set(gl.add(prod[j : j + 17], term))
+    # aux_poly s(x) and (x - beta) * s(x)
+    aux_p = gl.add(
+        gl.sub(lo, jnp.uint64(AUX_COEFF_ABS_MAX)),
+        gl.mul_const(hi, 1 << LIMB_BITS),
+    )  # [31, C]
+    b_aux = gl.mul_const(aux_p, 1 << LIMB_BITS)
+    adjoin = jnp.concatenate(
+        [
+            gl.neg(b_aux[:1]),
+            gl.sub(aux_p[: 2 * N_LIMBS - 2], b_aux[1:]),
+            aux_p[2 * N_LIMBS - 2 :],
+        ],
+        axis=0,
+    )  # [32, C]
+    constr = gl.add(prod, adjoin)
+    inp = jnp.stack([v.v for v in input_poly])  # [31, C]
+    constr = jnp.concatenate(
+        [gl.sub(constr[: 2 * N_LIMBS - 1], inp), constr[2 * N_LIMBS - 1 :]],
+        axis=0,
+    )
+    consumer.constraint_many_arr(gl.mul(fv[None], constr))
 
 
 def generate_is_modulus_zero(input_limbs: jnp.ndarray):
@@ -130,9 +184,21 @@ def generate_is_modulus_zero(input_limbs: jnp.ndarray):
 
 def eval_is_modulus_zero(consumer, ring, filt, modulus, input_limbs, is_zero, aux):
     """Ring-generic mirror of eval_is_modulus_zero (is_modulus_zero.rs:69-84)."""
+    from .air import GL
+
     inv = aux["inv"]
     diff = pol.pol_mul_wide(input_limbs, inv)  # 31
     one = ring.one()
     diff[0] = diff[0] + is_zero - one
     eval_modulus_zero(consumer, ring, filt, modulus, diff, aux["modulus_zero_aux"])
-    consumer.constraint_many([filt * (is_zero * limb) for limb in input_limbs])
+    if isinstance(filt, GL) and getattr(consumer, "alpha_pows", None) is not None:
+        import jax.numpy as jnp
+
+        from ..field import goldilocks as gl
+
+        inp = jnp.stack([v.v for v in input_limbs])
+        consumer.constraint_many_arr(
+            gl.mul(gl.mul(filt.v, is_zero.v)[None], inp)
+        )
+    else:
+        consumer.constraint_many([filt * (is_zero * limb) for limb in input_limbs])
