@@ -55,9 +55,11 @@ def main():
     stark = g1_scalar_mul_stark()
     ctl_values = g1_scalar_mul.generate_ctl_values(inputs)
 
-    def one_proof():
-        trace = g1_scalar_mul.generate_trace(inputs)
-        return prove_mod.prove(stark, trace, ctl_values, DEFAULT_CONFIG)
+    def one_proof(tt=None):
+        tt = tt or TimingTree(enabled=False)
+        with tt.scope("trace gen"):
+            trace = g1_scalar_mul.generate_trace(inputs)
+        return prove_mod.prove(stark, trace, ctl_values, DEFAULT_CONFIG, timing=tt)
 
     # warmup (compilation; cached persistently across runs)
     t0 = time.time()
@@ -69,12 +71,18 @@ def main():
     verify_mod.verify(stark, proof, ctl_values, DEFAULT_CONFIG)
     print("# proof verified", file=sys.stderr)
 
+    tt = TimingTree(enabled=True)
     t0 = time.time()
-    one_proof()
+    one_proof(tt)
     steady = time.time() - t0
     print(f"# steady-state prove: {steady:.1f}s", file=sys.stderr)
+    print("# stage breakdown:", file=sys.stderr)
+    tt.print(out=sys.stderr)
 
     value = n_ops / steady
+    stages = {}
+    for _, name, secs in tt.records:
+        stages[name] = round(stages.get(name, 0.0) + secs, 3)
     print(
         json.dumps(
             {
@@ -82,6 +90,7 @@ def main():
                 "value": round(value, 3),
                 "unit": "proofs/s",
                 "vs_baseline": round(value / 100.0, 4),
+                "stages_s": stages,
             }
         )
     )

@@ -157,48 +157,61 @@ def domain_shifts_and_sizes(n_log: int, config: StarkConfig):
     return out, (m_log, shift, degree_bits)
 
 
-def prove_fri(values: Ext, n_log: int, config: StarkConfig, challenger):
+def prove_fri(values: Ext, n_log: int, config: StarkConfig, challenger,
+              timing=None):
     """FRI prove for one ext-valued oracle on the LDE coset (natural order).
 
-    Returns (FriProof, layer data kept for query extraction).
+    Returns (FriProof, layer data kept for query extraction).  Layer leaves
+    and Merkle levels stay on device; queries are gathered device-side.
     """
+    from ..utils import timing as timing_mod
+    from .merkle import device_tree_levels, gather_paths
+
+    tt = timing_mod.get(timing)
     layers_cfg, (final_m_log, final_shift, final_deg_bits) = domain_shifts_and_sizes(
         n_log, config
     )
     layer_values = [values]
-    trees: List[MerkleTree] = []
+    layer_leaves = []
+    layer_levels = []
     caps = []
     betas = []
-    for m_log, shift, a in layers_cfg:
-        v = layer_values[-1]
-        cap_h = min(config.cap_height, m_log - a)
-        tree = build_tree(_ext_leaves(v, m_log, a), cap_h)
-        trees.append(tree)
-        caps.append(tree.cap)
-        challenger.observe_cap(tree.cap)
-        beta = challenger.get_extension_challenge()
-        betas.append(beta)
-        layer_values.append(fold_layer(v, m_log, a, shift, beta))
+    with tt.scope("fri commit/fold"):
+        for m_log, shift, a in layers_cfg:
+            v = layer_values[-1]
+            cap_h = min(config.cap_height, m_log - a)
+            leaves = _ext_leaves(v, m_log, a)
+            levels = device_tree_levels(leaves, cap_h)
+            cap = np.asarray(levels[-1])
+            layer_leaves.append(leaves)
+            layer_levels.append(levels)
+            caps.append(cap)
+            challenger.observe_cap(cap)
+            beta = challenger.get_extension_challenge()
+            betas.append(beta)
+            layer_values.append(fold_layer(v, m_log, a, shift, beta))
 
     # final polynomial: coefficients of the last layer (coset iNTT)
-    last = layer_values[-1]
-    c0 = ntt.intt(last.c0)
-    c1 = ntt.intt(last.c1)
-    shift_inv_pows = np.empty(1 << final_m_log, dtype=np.uint64)
-    cur = 1
-    sinv = gl.h_inv(final_shift)
-    for i in range(1 << final_m_log):
-        shift_inv_pows[i] = cur
-        cur = cur * sinv % gl.P
-    sp = jnp.asarray(shift_inv_pows)
-    c0 = np.asarray(gl.mul(c0, sp))
-    c1 = np.asarray(gl.mul(c1, sp))
-    n_final = 1 << final_deg_bits
-    final_coeffs = [GLExt(int(c0[i]), int(c1[i])) for i in range(n_final)]
+    with tt.scope("fri final poly"):
+        last = layer_values[-1]
+        c0 = ntt.intt(last.c0)
+        c1 = ntt.intt(last.c1)
+        shift_inv_pows = np.empty(1 << final_m_log, dtype=np.uint64)
+        cur = 1
+        sinv = gl.h_inv(final_shift)
+        for i in range(1 << final_m_log):
+            shift_inv_pows[i] = cur
+            cur = cur * sinv % gl.P
+        sp = jnp.asarray(shift_inv_pows)
+        c0 = np.asarray(gl.mul(c0, sp))
+        c1 = np.asarray(gl.mul(c1, sp))
+        n_final = 1 << final_deg_bits
+        final_coeffs = [GLExt(int(c0[i]), int(c1[i])) for i in range(n_final)]
     for fc in final_coeffs:
         challenger.observe_extension(fc)
 
-    nonce = pow_grind(challenger, config.proof_of_work_bits)
+    with tt.scope("fri pow"):
+        nonce = pow_grind(challenger, config.proof_of_work_bits)
     challenger.observe_element(nonce % gl.P)
     assert (challenger.get_challenge() >> (64 - config.proof_of_work_bits)) == 0
 
@@ -207,24 +220,31 @@ def prove_fri(values: Ext, n_log: int, config: StarkConfig, challenger):
         challenger.get_challenge() % big_n for _ in range(config.num_query_rounds)
     ]
 
-    # gather per-layer leaf rows on host
-    host_layers = []
-    for (m_log, shift, a), v in zip(layers_cfg, layer_values[:-1]):
-        host_layers.append(np.asarray(_ext_leaves(v, m_log, a)))
-
-    queries = []
-    for idx in query_indices:
-        layer_proofs = []
-        r = idx
+    # device-side gather of the queried groups + sibling paths
+    with tt.scope("fri query gather"):
+        idx_np = np.array(query_indices, dtype=np.int64)
+        r = idx_np
+        layer_rows = []
+        layer_paths = []
         for li, (m_log, shift, a) in enumerate(layers_cfg):
-            A = 1 << a
-            group = r >> a
-            row = host_layers[li][group].reshape(A, 2)
-            layer_proofs.append(
-                FriLayerProof(group_values=row, path=trees[li].prove(group))
+            groups = r >> a
+            layer_rows.append(
+                np.asarray(layer_leaves[li][jnp.asarray(groups)])
             )
-            r = group
-        queries.append(layer_proofs)
+            layer_paths.append(gather_paths(layer_levels[li], groups))
+            r = groups
+
+        queries = []
+        for qi in range(len(query_indices)):
+            layer_proofs = []
+            for li, (m_log, shift, a) in enumerate(layers_cfg):
+                A = 1 << a
+                row = layer_rows[li][qi].reshape(A, 2)
+                path = [lvl[qi] for lvl in layer_paths[li]]
+                layer_proofs.append(
+                    FriLayerProof(group_values=row, path=path)
+                )
+            queries.append(layer_proofs)
 
     proof = FriProof(
         layer_caps=caps, final_coeffs=final_coeffs, pow_nonce=nonce, queries=None

@@ -92,3 +92,19 @@ def build_tree(leaves: jnp.ndarray, cap_height: int) -> MerkleTree:
     """[N, L] uint64 leaf rows -> MerkleTree with 2^cap_height cap."""
     levels = device_tree_levels(leaves, cap_height)
     return MerkleTree(levels=[np.asarray(jax.device_get(l)) for l in levels])
+
+
+def gather_paths(levels, indices: np.ndarray):
+    """Device-side sibling-path gather for a batch of leaf indices.
+
+    `levels`: device digest levels (leaf level first, cap last);
+    `indices`: [Q] leaf indices.  Returns a list (per level below the cap)
+    of [Q, 4] numpy digests — the only host transfer is the gathered data.
+    """
+    paths = []
+    cur = np.asarray(indices, dtype=np.int64)
+    for level in levels[:-1]:
+        sib = cur ^ 1
+        paths.append(np.asarray(level[jnp.asarray(sib)]))
+        cur = cur >> 1
+    return paths

@@ -38,7 +38,7 @@ from . import constraints as cons
 from . import fri as fri_mod
 from .challenger import Challenger
 from .config import StarkConfig
-from .merkle import MerkleTree
+from .merkle import MerkleTree, gather_paths
 from .poly_batch import bit_rev_perm
 
 _JIT_CACHE: Dict = {}
@@ -143,13 +143,20 @@ def _make_commit(rate_bits: int, cap_height: int):
     # NOT fused into one jit: XLA's algebraic simplifier loops pathologically
     # on the large fused graph; the component kernels (intt / coset_lde /
     # hash / per-level compress) are each jitted and cached individually.
-    def commit(values):
-        coeffs = ntt.intt(values)
-        lde = ntt.coset_lde_from_coeffs(coeffs, rate_bits)
+    def commit(values, tt=None):
+        sync = (lambda x: jax.block_until_ready(x)) if (
+            tt is not None and tt.enabled
+        ) else (lambda x: x)
+        tt = timing_mod.get(tt)
+        with tt.scope("intt"):
+            coeffs = sync(ntt.intt(values))
+        with tt.scope("lde"):
+            lde = sync(ntt.coset_lde_from_coeffs(coeffs, rate_bits))
         n_big = lde.shape[-1]
         perm = jnp.asarray(bit_rev_perm(n_big.bit_length() - 1))
-        leaves = _gather_t(lde, perm)
-        levels = _tree_levels(leaves, cap_height)
+        with tt.scope("merkle"):
+            leaves = _gather_t(lde, perm)
+            levels = sync(_tree_levels(leaves, cap_height))
         return coeffs, lde, levels
 
     return commit
@@ -459,13 +466,16 @@ def prove(
     openings_core = _cached((key, "open"), lambda: _make_openings(n))
 
     # ---- S1: trace commit ---------------------------------------------
+    # Merkle levels STAY on device; only the cap is pulled.  Query rows
+    # and sibling paths are gathered on device after the indices are known
+    # (round-1 pulled the full ~1.3 GB of LDEs + every level to host,
+    # which was 57s of a 75s proof).
     with tt.scope("trace commit"):
         t_coeffs, t_lde, t_levels = commit(trace_cols)
-        t_levels = [np.asarray(l) for l in t_levels]
-    trace_tree = MerkleTree(levels=t_levels)
+        trace_cap = np.asarray(t_levels[-1])
     ch = Challenger()
     ch.observe_element(n_log)
-    ch.observe_cap(trace_tree.cap)
+    ch.observe_cap(trace_cap)
 
     challenges = [
         (ch.get_challenge(), ch.get_challenge())
@@ -495,9 +505,8 @@ def prove(
     with tt.scope("aux"):
         aux_cols = aux_core(trace_cols, jnp.asarray(gammas_np), ctl_weight_specs)
         a_coeffs, a_lde, a_levels = commit(aux_cols)
-        a_levels = [np.asarray(l) for l in a_levels]
-    aux_tree = MerkleTree(levels=a_levels)
-    ch.observe_cap(aux_tree.cap)
+        aux_cap = np.asarray(a_levels[-1])
+    ch.observe_cap(aux_cap)
 
     ctl_totals_np = np.array(
         [
@@ -531,9 +540,8 @@ def prove(
             [[w for (_, w) in per_ch] for per_ch in ctl_weight_specs],
         )
         q_lde, q_levels = commit_c(q_chunks)
-        q_levels = [np.asarray(l) for l in q_levels]
-    quotient_tree = MerkleTree(levels=q_levels)
-    ch.observe_cap(quotient_tree.cap)
+        quotient_cap = np.asarray(q_levels[-1])
+    ch.observe_cap(quotient_cap)
 
     # ---- S4: openings --------------------------------------------------
     zeta = ch.get_extension_challenge()
@@ -601,26 +609,35 @@ def prove(
 
     with tt.scope("fri"):
         fri_proof, query_indices, fri_query_layers = fri_mod.prove_fri(
-            F, n_log, config, ch
+            F, n_log, config, ch, timing=tt
         )
 
-    # initial tree openings per query
-    big_perm = bit_rev_perm(n_log + rate)
-    trees = [trace_tree, aux_tree, quotient_tree]
-    lde_host = [np.asarray(t_lde), np.asarray(a_lde), np.asarray(q_lde)]
-    query_initials = []
-    for idx in query_indices:
-        nat = int(big_perm[idx])
-        per_batch = []
-        for tree, lh in zip(trees, lde_host):
-            per_batch.append((lh[:, nat], tree.prove(idx)))
-        query_initials.append(per_batch)
+    # initial tree openings per query: device-side gather of the Q queried
+    # rows and their sibling paths; only ~Q*(width+4*height) values land on
+    # host.
+    with tt.scope("query extraction"):
+        big_perm = bit_rev_perm(n_log + rate)
+        idx_np = np.array(query_indices, dtype=np.int64)
+        nat_np = big_perm[idx_np].astype(np.int64)
+        nat_dev = jnp.asarray(nat_np)
+        query_initials = [[] for _ in query_indices]
+        for lde, levels in (
+            (t_lde, t_levels),
+            (a_lde, a_levels),
+            (q_lde, q_levels),
+        ):
+            rows = np.asarray(lde[:, nat_dev].T)  # [Q, width]
+            paths = gather_paths(levels, idx_np)  # [height][Q, 4]
+            for qi in range(len(query_indices)):
+                query_initials[qi].append(
+                    (rows[qi], [lvl[qi] for lvl in paths])
+                )
 
     return Proof(
         degree_bits=n_log,
-        trace_cap=trace_tree.cap,
-        aux_cap=aux_tree.cap,
-        quotient_cap=quotient_tree.cap,
+        trace_cap=trace_cap,
+        aux_cap=aux_cap,
+        quotient_cap=quotient_cap,
         openings=openings,
         fri=fri_mod.FriProof(
             layer_caps=fri_proof.layer_caps,

@@ -103,6 +103,7 @@ def test_g2_jacobian_and_add():
     assert (acc == 0).all(), acc
 
 
+@pytest.mark.slow  # G2 trace executable takes many minutes to compile on CPU
 def test_g2_scalar_mul_trace_output():
     s = int(RNG.integers(1, 1 << 63)) << 150 | int(RNG.integers(0, 1 << 63))
     x = oracle.random_g2(RNG)
