@@ -146,6 +146,15 @@ class CircuitBuilder:
             [(1, [a.index, b.index]), (1, [c.index])], "mul_add", [a, b, c]
         )
 
+    def add_linear(self, terms, const: int = 0) -> Target:
+        """out = const + sum coeff*t over `terms` = [(coeff, Target)] with
+        ONE constraint and ONE generator (the workhorse of wide gadgets
+        like the Poseidon MDS layer)."""
+        monomials = [(c % gl.P, [t.index]) for c, t in terms]
+        if const % gl.P:
+            monomials.append((const % gl.P, []))
+        return self._arith(monomials, "linear", [t for _, t in terms])
+
     def _arith(self, monomials, tag, deps: List[Target]) -> Target:
         out = self.add_virtual_target()
         self.constraints.append(
@@ -236,40 +245,107 @@ class Circuit:
         self.builder = builder
 
     def generate_witness(self, pw: Witness) -> Dict[int, int]:
-        """Run the generator fixpoint (reference: plonky2 generate_partial_witness)."""
+        """Run the generator fixpoint (reference: plonky2
+        generate_partial_witness), in linear time: a target-index ->
+        waiting-generators map drives a ready queue, so each generator is
+        examined only when one of its deps lands (the round-1 rescan loop
+        was quadratic and died on recursion-scale circuits)."""
         values = dict(pw.values)
-        pending = list(self.builder.generators)
-        progress = True
-        while pending and progress:
-            progress = False
-            still = []
-            for gen in pending:
-                if all(d in values for d in gen.deps):
-                    out = gen.run(values)
-                    for k, v in out.items():
-                        v %= gl.P
-                        if k in values and values[k] != v:
-                            raise ValueError(
-                                f"generator {gen.name} conflicts at t{k}: "
-                                f"{values[k]} vs {v}"
-                            )
-                        values[k] = v
-                    progress = True
-                else:
-                    still.append(gen)
-            pending = still
-        if pending:
-            missing = [g.name for g in pending[:5]]
-            raise ValueError(f"witness generation stuck; pending: {missing}")
+        gens = self.builder.generators
+        waiting_on: Dict[int, List[int]] = {}
+        remaining = []
+        ready = []
+        for gi, gen in enumerate(gens):
+            missing = [d for d in set(gen.deps) if d not in values]
+            remaining.append(len(missing))
+            if not missing:
+                ready.append(gi)
+            for d in missing:
+                waiting_on.setdefault(d, []).append(gi)
+        n_run = 0
+
+        def land(k: int):
+            for gi in waiting_on.pop(k, ()):
+                remaining[gi] -= 1
+                if remaining[gi] == 0:
+                    ready.append(gi)
+
+        for k in list(values):
+            land(k)
+        while ready:
+            gen = gens[ready.pop()]
+            n_run += 1
+            out = gen.run(values)
+            for k, v in out.items():
+                v %= gl.P
+                if k in values:
+                    if values[k] != v:
+                        raise ValueError(
+                            f"generator {gen.name} conflicts at t{k}: "
+                            f"{values[k]} vs {v}"
+                        )
+                    continue
+                values[k] = v
+                land(k)
+        if n_run != len(gens):
+            stuck = [
+                g.name for gi, g in enumerate(gens) if remaining[gi] > 0
+            ][:5]
+            raise ValueError(f"witness generation stuck; pending: {stuck}")
         return values
+
+    def _compiled_check(self):
+        """Group constraints by (n_monomials, max_degree) into padded numpy
+        index/coefficient tensors so `check` is a handful of vectorized
+        modmul passes instead of a per-gate python loop."""
+        import numpy as np
+
+        groups: Dict = {}
+        for i, c in enumerate(self.builder.constraints):
+            m = len(c.monomials)
+            d = max((len(idxs) for _, idxs in c.monomials), default=0)
+            groups.setdefault((m, max(d, 1)), []).append(i)
+        compiled = []
+        one_slot = self.builder.num_targets  # sentinel index holding 1
+        for (m, d), idx_list in groups.items():
+            coeffs = np.zeros((len(idx_list), m), dtype=np.uint64)
+            var_idx = np.full((len(idx_list), m, d), one_slot, dtype=np.int64)
+            for r, ci in enumerate(idx_list):
+                for j, (coeff, idxs) in enumerate(
+                    self.builder.constraints[ci].monomials
+                ):
+                    coeffs[r, j] = coeff % gl.P
+                    for k, t in enumerate(idxs):
+                        var_idx[r, j, k] = t
+            compiled.append((np.asarray(idx_list), coeffs, var_idx))
+        return compiled
 
     def check(self, values: Dict[int, int]):
         """Check every constraint (the 'fake backend' verification path —
         reference feature not-constrain-bn254-stark skips exactly this for
-        the STARK hook; here it is the round-1 outer-circuit backend)."""
-        for i, c in enumerate(self.builder.constraints):
-            if c.eval(values) != 0:
-                raise ValueError(f"constraint {i} ({c.tag}) violated")
+        the STARK hook; vectorized over grouped constraint shapes)."""
+        import numpy as np
+
+        from ..field import np_gl
+
+        if not hasattr(self, "_check_plan"):
+            self._check_plan = self._compiled_check()
+        w = np.zeros(self.builder.num_targets + 1, dtype=np.uint64)
+        for k, v in values.items():
+            w[k] = v % gl.P
+        w[self.builder.num_targets] = 1  # sentinel: empty monomial slots
+        for idx_list, coeffs, var_idx in self._check_plan:
+            term = coeffs.copy()
+            for k in range(var_idx.shape[2]):
+                term = np_gl.mul(term, w[var_idx[:, :, k]])
+            acc = term[:, 0]
+            for j in range(1, term.shape[1]):
+                acc = np_gl.add(acc, term[:, j])
+            bad = np.nonzero(acc)[0]
+            if len(bad):
+                ci = int(idx_list[bad[0]])
+                c = self.builder.constraints[ci]
+                raise ValueError(f"constraint {ci} ({c.tag}) violated")
         for idx, bits in getattr(self.builder, "range_checks", []):
             if values[idx] >= 1 << bits:
                 raise ValueError(
