@@ -17,10 +17,40 @@ in a gate-friendly normal form so that stage can reuse it.
 
 from __future__ import annotations
 
+from array import array as _array
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
 
 from ..field import goldilocks as gl
+
+
+@dataclass(frozen=True)
+class Template:
+    """Interned constraint shape: sum of monomials over var slots == 0."""
+
+    monomials: Tuple[Tuple[int, Tuple[int, ...]], ...]
+    out_slot: Optional[int] = None
+
+    def eval_row(self, values, vars_) -> int:
+        acc = 0
+        for coeff, slots in self.monomials:
+            term = coeff
+            for s in slots:
+                term = term * values[vars_[s]] % gl.P
+            acc += term
+        return acc % gl.P
+
+    def solve_out(self, values, vars_) -> int:
+        """Value of vars[out_slot] from the other monomials."""
+        acc = 0
+        for coeff, slots in self.monomials:
+            if len(slots) == 1 and slots[0] == self.out_slot:
+                continue
+            term = coeff
+            for s in slots:
+                term = term * values[vars_[s]] % gl.P
+            acc += term
+        return acc % gl.P
 
 
 class Target:
@@ -89,6 +119,19 @@ class Witness:
 
 
 class CircuitBuilder:
+    """Records constraints in two interchangeable forms:
+
+    - `constraints`: ad-hoc `Constraint` objects (low-volume: connects,
+      assertions, one-off gadget identities).
+    - templated rows: an interned `Template` (monomials over var SLOTS,
+      optionally solvable for one out slot) plus, per emission, one compact
+      `array('q')` of target indices.  Recursion-scale circuits emit
+      millions of structurally identical constraints (Poseidon rounds, ring
+      arithmetic); interning makes each one ~2 small allocations instead of
+      ~15 — decisive on this VM, where first-touch heap pages fault in at
+      ~10 MB/s — and gives the outer prover a vectorizable gate DB.
+    """
+
     def __init__(self):
         self.num_targets = 0
         self.constraints: List[Constraint] = []
@@ -96,6 +139,11 @@ class CircuitBuilder:
         self.constants: Dict[int, Target] = {}
         self.hooks: Dict[str, object] = {}
         self._built = False
+        # templated constraints
+        self.templates: List["Template"] = []
+        self._template_ids: Dict[tuple, int] = {}
+        self.tpl_tids: List[int] = []  # one per templated row
+        self.tpl_rows: List[_array] = []  # one index array per row
 
     # -- targets ---------------------------------------------------------
 
@@ -106,6 +154,36 @@ class CircuitBuilder:
 
     def add_virtual_targets(self, n: int) -> List[Target]:
         return [self.add_virtual_target() for _ in range(n)]
+
+    def reserve_indices(self, n: int) -> int:
+        """Allocate n target indices without Target objects; returns the
+        first index (bulk-emission fast path)."""
+        base = self.num_targets
+        self.num_targets += n
+        return base
+
+    # -- templated constraints (interned shapes) --------------------------
+
+    def add_template(self, monomials, out_slot: Optional[int] = None) -> int:
+        """Intern a constraint shape: `monomials` is [(coeff, (slots...))]
+        summing to zero over vars; if `out_slot` is given, the constraint
+        must have the form  sum(other monomials) - vars[out_slot] == 0  so
+        witness generation can solve for it."""
+        key = (
+            tuple((c % gl.P, tuple(s)) for c, s in monomials),
+            out_slot,
+        )
+        tid = self._template_ids.get(key)
+        if tid is None:
+            tid = len(self.templates)
+            self.templates.append(Template(key[0], out_slot))
+            self._template_ids[key] = tid
+        return tid
+
+    def emit(self, tid: int, var_indices) -> None:
+        """Record one templated constraint row (indices, not Targets)."""
+        self.tpl_tids.append(tid)
+        self.tpl_rows.append(_array("q", var_indices))
 
     def constant(self, value: int) -> Target:
         value %= gl.P
@@ -156,24 +234,27 @@ class CircuitBuilder:
         return self._arith(monomials, "linear", [t for _, t in terms])
 
     def _arith(self, monomials, tag, deps: List[Target]) -> Target:
-        out = self.add_virtual_target()
-        self.constraints.append(
-            Constraint(monomials + [(gl.P - 1, [out.index])], tag=tag)
-        )
-
-        def run(w, monomials=monomials, out=out):
-            acc = 0
-            for coeff, idxs in monomials:
-                term = coeff
-                for i in idxs:
-                    term = term * w[i] % gl.P
-                acc += term
-            return {out.index: acc % gl.P}
-
-        self.generators.append(
-            Generator([d.index for d in deps], [out.index], run, tag)
-        )
-        return out
+        """out = sum of monomials, as ONE templated row: the interned
+        template doubles as the constraint and the witness rule."""
+        out_index = self.reserve_indices(1)
+        slot_of: Dict[int, int] = {}
+        vars_: List[int] = []
+        tpl_monomials = []
+        for coeff, idxs in monomials:
+            slots = []
+            for i in idxs:
+                s = slot_of.get(i)
+                if s is None:
+                    s = slot_of[i] = len(vars_)
+                    vars_.append(i)
+                slots.append(s)
+            tpl_monomials.append((coeff, tuple(slots)))
+        out_slot = len(vars_)
+        vars_.append(out_index)
+        tpl_monomials.append((gl.P - 1, (out_slot,)))
+        tid = self.add_template(tpl_monomials, out_slot)
+        self.emit(tid, vars_)
+        return Target(out_index)
 
     # -- constraints -----------------------------------------------------
 
@@ -195,30 +276,16 @@ class CircuitBuilder:
         )
 
     def select(self, flag: Target, a: Target, b: Target) -> Target:
-        """flag ? a : b  (flag boolean)."""
-        # out = flag*a + (1-flag)*b = flag*(a-b) + b
-        out = self.add_virtual_target()
-        self.constraints.append(
-            Constraint(
-                [
-                    (1, [flag.index, a.index]),
-                    (gl.P - 1, [flag.index, b.index]),
-                    (1, [b.index]),
-                    (gl.P - 1, [out.index]),
-                ],
-                tag="select",
-            )
+        """flag ? a : b  (flag boolean): out = flag*(a-b) + b."""
+        return self._arith(
+            [
+                (1, [flag.index, a.index]),
+                (gl.P - 1, [flag.index, b.index]),
+                (1, [b.index]),
+            ],
+            "select",
+            [flag, a, b],
         )
-        self.generators.append(
-            Generator(
-                [flag.index, a.index, b.index],
-                [out.index],
-                lambda w, f=flag, a=a, b=b, o=out: {
-                    o.index: w[a.index] if w[f.index] else w[b.index]
-                },
-            )
-        )
-        return out
 
     def add_generator(self, gen: Generator):
         self.generators.append(gen)
@@ -250,14 +317,33 @@ class Circuit:
         waiting-generators map drives a ready queue, so each generator is
         examined only when one of its deps lands (the round-1 rescan loop
         was quadratic and died on recursion-scale circuits)."""
+        b = self.builder
         values = dict(pw.values)
-        gens = self.builder.generators
+        gens = b.generators
+        n_obj = len(gens)
+        # templated rows whose template can be solved for an out slot act
+        # as generators too (index space n_obj..)
+        tpl_gen_rows = [
+            ri
+            for ri in range(len(b.tpl_tids))
+            if b.templates[b.tpl_tids[ri]].out_slot is not None
+        ]
+        n_total = n_obj + len(tpl_gen_rows)
+
+        def deps_of(gi):
+            if gi < n_obj:
+                return set(gens[gi].deps)
+            ri = tpl_gen_rows[gi - n_obj]
+            vars_ = b.tpl_rows[ri]
+            out = vars_[b.templates[b.tpl_tids[ri]].out_slot]
+            return {v for v in vars_ if v != out}
+
         waiting_on: Dict[int, List[int]] = {}
-        remaining = []
+        remaining = [0] * n_total
         ready = []
-        for gi, gen in enumerate(gens):
-            missing = [d for d in set(gen.deps) if d not in values]
-            remaining.append(len(missing))
+        for gi in range(n_total):
+            missing = [d for d in deps_of(gi) if d not in values]
+            remaining[gi] = len(missing)
             if not missing:
                 ready.append(gi)
             for d in missing:
@@ -273,23 +359,34 @@ class Circuit:
         for k in list(values):
             land(k)
         while ready:
-            gen = gens[ready.pop()]
+            gi = ready.pop()
             n_run += 1
-            out = gen.run(values)
+            if gi < n_obj:
+                gen = gens[gi]
+                out = gen.run(values)
+                name = gen.name
+            else:
+                ri = tpl_gen_rows[gi - n_obj]
+                tpl = b.templates[b.tpl_tids[ri]]
+                vars_ = b.tpl_rows[ri]
+                out = {vars_[tpl.out_slot]: tpl.solve_out(values, vars_)}
+                name = "tpl"
             for k, v in out.items():
                 v %= gl.P
                 if k in values:
                     if values[k] != v:
                         raise ValueError(
-                            f"generator {gen.name} conflicts at t{k}: "
+                            f"generator {name} conflicts at t{k}: "
                             f"{values[k]} vs {v}"
                         )
                     continue
                 values[k] = v
                 land(k)
-        if n_run != len(gens):
+        if n_run != n_total:
             stuck = [
-                g.name for gi, g in enumerate(gens) if remaining[gi] > 0
+                gens[gi].name if gi < n_obj else "tpl"
+                for gi in range(n_total)
+                if remaining[gi] > 0
             ][:5]
             raise ValueError(f"witness generation stuck; pending: {stuck}")
         return values
@@ -346,6 +443,39 @@ class Circuit:
                 ci = int(idx_list[bad[0]])
                 c = self.builder.constraints[ci]
                 raise ValueError(f"constraint {ci} ({c.tag}) violated")
+        # templated rows: vectorized per template
+        if not hasattr(self, "_tpl_plan"):
+            by_tid: Dict[int, List[int]] = {}
+            for ri, tid in enumerate(self.builder.tpl_tids):
+                by_tid.setdefault(tid, []).append(ri)
+            self._tpl_plan = [
+                (
+                    tid,
+                    np.asarray(rows),
+                    np.stack(
+                        [
+                            np.frombuffer(self.builder.tpl_rows[ri], dtype=np.int64)
+                            for ri in rows
+                        ]
+                    ),
+                )
+                for tid, rows in by_tid.items()
+            ]
+        for tid, row_ids, mat in self._tpl_plan:
+            tpl = self.builder.templates[tid]
+            w_vars = w[mat]  # [n, k]
+            acc = None
+            for coeff, slots in tpl.monomials:
+                term = np.full(mat.shape[0], coeff % gl.P, dtype=np.uint64)
+                for s in slots:
+                    term = np_gl.mul(term, w_vars[:, s])
+                acc = term if acc is None else np_gl.add(acc, term)
+            bad = np.nonzero(acc)[0]
+            if len(bad):
+                ri = int(row_ids[bad[0]])
+                raise ValueError(
+                    f"templated constraint row {ri} (template {tid}) violated"
+                )
         for idx, bits in getattr(self.builder, "range_checks", []):
             if values[idx] >= 1 << bits:
                 raise ValueError(

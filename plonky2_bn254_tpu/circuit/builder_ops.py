@@ -45,6 +45,11 @@ class Bn254Hook:
 
         config = self.stark_config or DEFAULT_CONFIG
         self.proof = {}
+        if not self.prove_starks:
+            # the reference's `not-constrain-bn254-stark` feature: constrain
+            # becomes a no-op (hook.rs:92-93); single-op generators still
+            # fill the outputs natively.
+            return
 
         if self.inputs_fq:
             self._constrain_kind(
@@ -60,7 +65,32 @@ class Bn254Hook:
             )
 
     def _constrain_kind(self, builder, config, kind, inputs, outputs):
+        """The reference's StarkProofGenerator::new (stark_proof.rs:55-109):
+        at build time, resplit the recorded circuit wires into 16-bit CTL
+        value targets (ToU16), allocate the whole STARK proof as witness
+        targets, and emit the in-circuit recursive verifier whose CTL
+        extra-looking sums BIND those wires to the proven trace; at witness
+        time (run_once, stark_proof.rs:136-179), prove the batch STARK,
+        self-verify, and write the proof into its targets."""
+        from ..starks.table import (
+            fq_exp_stark,
+            g1_scalar_mul_stark,
+            g2_scalar_mul_stark,
+        )
+        from . import to_u16
+        from .stark_verifier import (
+            add_virtual_stark_proof,
+            flatten_proof_targets,
+            set_stark_proof_target,
+            verify_stark_proof_circuit,
+        )
+
         hook = self
+        n_ops = len(inputs)
+        period = 512  # G1_PERIOD == G2_PERIOD == FQ_PERIOD (BASELINE.md)
+        min_rows = 1 << 16
+        degree = max(min_rows, n_ops * period)
+        degree_bits = (degree - 1).bit_length()
 
         dep_targets = []
         for inp, out in zip(inputs, outputs):
@@ -68,15 +98,51 @@ class Bn254Hook:
                 dep_targets.extend(t.index for t in _to_vec(part))
             dep_targets.extend(t.index for t in _to_vec(out))
 
+        # ---- build-time: CTL value targets (ToU16 resplit) --------------
+        in_rows, out_rows = [], []
+        for t_idx, (inp, out) in enumerate(zip(inputs, outputs)):
+            ts = builder.constant(t_idx)
+            if kind == "fq_exp":
+                s, x = inp
+                row = to_u16.fq_to_u16(builder, x)
+                row += to_u16.limbs32_to_u16(builder, s.limbs, 16)
+                in_rows.append(row + [ts])
+                out_rows.append(to_u16.fq_to_u16(builder, out) + [ts])
+            elif kind == "g1_scalar_mul":
+                s, x, offset = inp
+                row = to_u16.g1_to_u16(builder, x)
+                row += to_u16.g1_to_u16(builder, offset)
+                row += to_u16.limbs32_to_u16(builder, s.limbs, 16)
+                in_rows.append(row + [ts])
+                out_rows.append(to_u16.g1_to_u16(builder, out) + [ts])
+            else:
+                s, x, offset = inp
+                row = to_u16.g2_to_u16(builder, x)
+                row += to_u16.g2_to_u16(builder, offset)
+                row += to_u16.limbs32_to_u16(builder, s.limbs, 16)
+                in_rows.append(row + [ts])
+                out_rows.append(to_u16.g2_to_u16(builder, out) + [ts])
+        ctl_target_rows = {0: in_rows, 1: out_rows}
+
+        # ---- build-time: recursive STARK verifier sub-circuit -----------
+        mk = {
+            "fq_exp": fq_exp_stark,
+            "g1_scalar_mul": g1_scalar_mul_stark,
+            "g2_scalar_mul": g2_scalar_mul_stark,
+        }[kind]
+        stark = mk()
+        proof_t = add_virtual_stark_proof(builder, stark, degree_bits, config)
+        verify_stark_proof_circuit(builder, stark, proof_t, ctl_target_rows, config)
+
+        # ---- witness-time: prove, self-verify, inject proof -------------
+        proof_targets = flatten_proof_targets(proof_t)
+
         def run(w):
-            if not hook.prove_starks:
-                return {}
             from ..prover import prove as prove_mod
             from ..prover import verify as verify_mod
 
             if kind == "fq_exp":
                 from ..starks import fq_exp as machine
-                from ..starks.table import fq_exp_stark as mk
 
                 stark_inputs = [
                     (inp[0].get_witness(w), inp[1].get_witness(w), t)
@@ -84,7 +150,6 @@ class Bn254Hook:
                 ]
             elif kind == "g1_scalar_mul":
                 from ..starks import g1_scalar_mul as machine
-                from ..starks.table import g1_scalar_mul_stark as mk
 
                 stark_inputs = [
                     (
@@ -97,7 +162,6 @@ class Bn254Hook:
                 ]
             else:
                 from ..starks import g2_scalar_mul as machine
-                from ..starks.table import g2_scalar_mul_stark as mk
 
                 stark_inputs = [
                     (
@@ -110,20 +174,21 @@ class Bn254Hook:
                 ]
             trace = machine.generate_trace(stark_inputs)
             ctl_values = machine.generate_ctl_values(stark_inputs)
-            stark = mk()
+            assert trace.shape[0] == 1 << degree_bits
             proof = prove_mod.prove(stark, trace, ctl_values, config)
             # self-verify (stark_proof.rs:136-179 does the same)
             verify_mod.verify(stark, proof, ctl_values, config)
-            # bind: the proven outputs must equal the circuit's recorded ones
-            for t, out in enumerate(outputs):
-                proven = ctl_values[1][t]
-                got = out.get_witness(w)
-                want = _from_ctl_output(kind, proven)
-                assert got == want, f"{kind} op {t}: STARK/circuit mismatch"
             hook.proof[kind] = (proof, ctl_values)
-            return {}
+            return set_stark_proof_target(proof_t, proof)
 
-        builder.add_generator(Generator(dep_targets, [], run, f"stark:{kind}"))
+        builder.add_generator(
+            Generator(
+                dep_targets,
+                [t.index for t in proof_targets],
+                run,
+                f"stark:{kind}",
+            )
+        )
 
 
 def _to_vec(part):
@@ -132,20 +197,6 @@ def _to_vec(part):
     if hasattr(part, "limbs"):
         return part.limbs
     return [part]
-
-
-def _from_ctl_output(kind, limbs):
-    """CTL output row (16-bit limbs + timestamp) -> value(s)."""
-    from ..starks.limbs import h_limbs_to_int
-
-    if kind == "fq_exp":
-        return h_limbs_to_int(limbs[:16])
-    if kind == "g1_scalar_mul":
-        return (h_limbs_to_int(limbs[:16]), h_limbs_to_int(limbs[16:32]))
-    return (
-        (h_limbs_to_int(limbs[:16]), h_limbs_to_int(limbs[16:32])),
-        (h_limbs_to_int(limbs[32:48]), h_limbs_to_int(limbs[48:64])),
-    )
 
 
 def get_bn254_hook(builder: CircuitBuilder) -> Bn254Hook:

@@ -30,113 +30,151 @@ from ..field.poseidon_constants import (
     SPONGE_RATE,
     WIDTH,
 )
-from .builder import CircuitBuilder, Constraint, Generator, Target
+from .builder import CircuitBuilder, Generator, Target
 
 _HALF_FULL = FULL_ROUNDS // 2
 _RC = ROUND_CONSTANTS.reshape(N_ROUNDS, WIDTH)
 _MDS_INT = [[int(x) for x in row] for row in MDS]
 _BINOM7 = [1, 7, 21, 35, 35, 21, 7, 1]
 
-# affine lane: value = w[target] + const  (const is a python int mod p)
-Lane = Tuple[Target, int]
 
-
-def _sbox_constraint(builder: CircuitBuilder, lane: Lane) -> Target:
-    """out = (t + c)^7 as one degree-7 constraint (binomial expansion)."""
-    t, c = lane
-    out = builder.add_virtual_target()
+def _sbox_monomials(c: int):
+    """(t + c)^7 - out as template monomials over slots (0=in, 1=out)."""
     monomials = []
     for k in range(7, -1, -1):
         coeff = _BINOM7[k] * pow(c, 7 - k, gl.P) % gl.P
         if coeff:
-            monomials.append((coeff, [t.index] * k))
-    monomials.append((gl.P - 1, [out.index]))
-    builder.constraints.append(Constraint(monomials, tag="poseidon_sbox"))
-    return out
+            monomials.append((coeff, (0,) * k))
+    monomials.append((gl.P - 1, (1,)))
+    return monomials
 
 
-def _mds_constraint(builder: CircuitBuilder, lanes: List[Lane], r: int) -> Target:
-    """out = sum_j m_rj * (t_j + c_j) as one linear constraint."""
-    out = builder.add_virtual_target()
-    monomials = []
-    const = 0
-    for j, (t, c) in enumerate(lanes):
-        m = _MDS_INT[r][j]
-        monomials.append((m % gl.P, [t.index]))
-        const = (const + m * c) % gl.P
-    if const:
-        monomials.append((const, []))
-    monomials.append((gl.P - 1, [out.index]))
-    builder.constraints.append(Constraint(monomials, tag="poseidon_mds"))
-    return out
-
-
-def permute_targets(builder: CircuitBuilder, state: List[Target]) -> List[Target]:
-    """Constrained Poseidon permutation; returns the 12 output targets."""
-    assert len(state) == WIDTH
-    in_targets = list(state)
-    lanes: List[Lane] = [(t, int(_RC[0][i])) for i, t in enumerate(state)]
-    sbox_targets: List[Tuple[int, Target]] = []  # (lane, target) per round, flat
-    mds_targets: List[Target] = []  # 12 per round, flat
-
+def _permute_templates(builder: CircuitBuilder):
+    """Intern the 478 per-round constraint templates once per builder:
+    rows of one permutation differ only in target indices, so every
+    permutation in the circuit shares these shapes."""
+    cached = getattr(builder, "_poseidon_tpl", None)
+    if cached is not None:
+        return cached
+    rounds = []
     for r in range(N_ROUNDS):
         full = r < _HALF_FULL or r >= _HALF_FULL + PARTIAL_ROUNDS
         if full:
-            sboxed = [(_sbox_constraint(builder, lanes[i]), 0) for i in range(WIDTH)]
-            for i in range(WIDTH):
-                sbox_targets.append((i, sboxed[i][0]))
+            sbox_tids = [
+                builder.add_template(_sbox_monomials(int(_RC[r][i])))
+                for i in range(WIDTH)
+            ]
+            # MDS over sbox outputs (pending consts all 0)
+            mds_tids = [
+                builder.add_template(
+                    [
+                        (_MDS_INT[i][j] % gl.P, (j,))
+                        for j in range(WIDTH)
+                    ]
+                    + [(gl.P - 1, (WIDTH,))]
+                )
+                for i in range(WIDTH)
+            ]
         else:
-            s0 = _sbox_constraint(builder, lanes[0])
-            sbox_targets.append((0, s0))
-            sboxed = [(s0, 0)] + lanes[1:]
-        rc_next = _RC[r + 1] if r + 1 < N_ROUNDS else [0] * WIDTH
+            sbox_tids = [builder.add_template(_sbox_monomials(int(_RC[r][0])))]
+            # lane 0 is the sbox output (const 0); lanes >=1 still carry
+            # this round's constants
+            mds_tids = []
+            for i in range(WIDTH):
+                const = (
+                    sum(_MDS_INT[i][j] * int(_RC[r][j]) for j in range(1, WIDTH))
+                    % gl.P
+                )
+                monomials = [
+                    (_MDS_INT[i][j] % gl.P, (j,)) for j in range(WIDTH)
+                ]
+                if const:
+                    monomials.append((const, ()))
+                monomials.append((gl.P - 1, (WIDTH,)))
+                mds_tids.append(builder.add_template(monomials))
+        rounds.append((full, sbox_tids, mds_tids))
+    builder._poseidon_tpl = rounds
+    return rounds
+
+
+# per permutation: 118 sbox outputs + 360 mds outputs
+_N_SBOX = WIDTH * FULL_ROUNDS + PARTIAL_ROUNDS
+_N_NEW = _N_SBOX + WIDTH * N_ROUNDS
+
+
+def permute_indices(builder: CircuitBuilder, state: List[int]) -> List[int]:
+    """Constrained Poseidon permutation over target indices: 478 templated
+    constraint rows + ONE batch witness generator."""
+    assert len(state) == WIDTH
+    rounds = _permute_templates(builder)
+    base = builder.reserve_indices(_N_NEW)
+    nxt = base
+    in_indices = list(state)
+    lanes = list(state)
+
+    for full, sbox_tids, mds_tids in rounds:
+        if full:
+            sboxed = []
+            for i in range(WIDTH):
+                out = nxt
+                nxt += 1
+                builder.emit(sbox_tids[i], (lanes[i], out))
+                sboxed.append(out)
+        else:
+            out = nxt
+            nxt += 1
+            builder.emit(sbox_tids[0], (lanes[0], out))
+            sboxed = [out] + lanes[1:]
         new_lanes = []
         for i in range(WIDTH):
-            o = _mds_constraint(builder, sboxed, i)
-            mds_targets.append(o)
-            new_lanes.append((o, int(rc_next[i])))
+            o = nxt
+            nxt += 1
+            builder.emit(mds_tids[i], sboxed + [o])
+            new_lanes.append(o)
         lanes = new_lanes
 
-    out_targets = [t for t, _ in lanes]
-
-    def run(w, in_targets=in_targets, sbox_targets=sbox_targets,
-            mds_targets=mds_targets):
+    def run(w, in_indices=in_indices, base=base):
         """Native replay writing every intermediate (one generator per
         permutation keeps the witness fixpoint cheap)."""
         values = {}
-        v = [w[t.index] for t in in_targets]
-        si = 0
-        mi = 0
+        v = [w[i] for i in in_indices]
+        nxt = base
         for r in range(N_ROUNDS):
             full = r < _HALF_FULL or r >= _HALF_FULL + PARTIAL_ROUNDS
             u = [(x + int(_RC[r][i])) % gl.P for i, x in enumerate(v)]
             if full:
                 s = [pow(x, ALPHA, gl.P) for x in u]
                 for i in range(WIDTH):
-                    values[sbox_targets[si][1].index] = s[i]
-                    si += 1
+                    values[nxt] = s[i]
+                    nxt += 1
             else:
                 s = [pow(u[0], ALPHA, gl.P)] + u[1:]
-                values[sbox_targets[si][1].index] = s[0]
-                si += 1
+                values[nxt] = s[0]
+                nxt += 1
             v = [
                 sum(_MDS_INT[rr][j] * s[j] for j in range(WIDTH)) % gl.P
                 for rr in range(WIDTH)
             ]
             for rr in range(WIDTH):
-                values[mds_targets[mi].index] = v[rr]
-                mi += 1
+                values[nxt] = v[rr]
+                nxt += 1
         return values
 
     builder.add_generator(
         Generator(
-            [t.index for t in in_targets],
-            [t.index for _, t in sbox_targets] + [t.index for t in mds_targets],
+            in_indices,
+            list(range(base, base + _N_NEW)),
             run,
             "poseidon_permute",
         )
     )
-    return out_targets
+    return lanes
+
+
+def permute_targets(builder: CircuitBuilder, state: List[Target]) -> List[Target]:
+    """Constrained Poseidon permutation; returns the 12 output targets."""
+    out = permute_indices(builder, [t.index for t in state])
+    return [Target(i) for i in out]
 
 
 def hash_no_pad_targets(builder: CircuitBuilder, inputs: List[Target]) -> List[Target]:

@@ -483,6 +483,45 @@ def _base_inverse(builder: CircuitBuilder, t: Target) -> Target:
     return inv
 
 
+def flatten_proof_targets(proof_t: StarkProofTarget) -> List[Target]:
+    """Every Target allocated for the proof, for a generator's output list."""
+    out: List[Target] = []
+
+    def ext(e: ExtTarget):
+        out.extend([e.c0, e.c1])
+
+    for cap in (proof_t.trace_cap, proof_t.aux_cap, proof_t.quotient_cap):
+        for d in cap:
+            out.extend(d)
+    for group in (
+        proof_t.trace_zeta,
+        proof_t.trace_zeta_g,
+        proof_t.aux_zeta,
+        proof_t.aux_zeta_g,
+        proof_t.quotient_zeta,
+        proof_t.quotient_zeta_g,
+        proof_t.fri_final_coeffs,
+    ):
+        for e in group:
+            ext(e)
+    for cap in proof_t.fri_layer_caps:
+        for d in cap:
+            out.extend(d)
+    out.append(proof_t.pow_nonce)
+    for qt in proof_t.queries:
+        for leaf in qt.initial_leaves:
+            out.extend(leaf)
+        for path in qt.initial_paths:
+            for d in path:
+                out.extend(d)
+        for lt in qt.layers:
+            for e in lt.group_values:
+                ext(e)
+            for d in lt.path:
+                out.extend(d)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # witness-time proof injection (set_stark_proof_target)
 # ---------------------------------------------------------------------------

@@ -38,6 +38,7 @@ def test_fq2_alg_matches_oracle():
         assert f2_host(di, i) == oracle.fq2_inv(a[i])
 
 
+@pytest.mark.slow  # G2 witness kernels take minutes to compile on CPU
 def test_g2_jacobian_and_add():
     pts = [oracle.random_g2(RNG) for _ in range(4)]
     X = f2_dev([p[0] for p in pts])
