@@ -9,6 +9,17 @@ hash: GF(p) with p = 2^64 - 2^32 + 1, x^7 S-box, t = 12, R_F = 8, R_P = 22.
 
 The table is data: swap `ROUND_CONSTANTS`/`MDS` for another instance's values
 to obtain transcript-level compatibility with that instance.
+
+Bit-exact-transcript descope (measured): plonky2's own hardcoded
+ALL_ROUND_CONSTANTS/MDS table is not available in this build environment
+(no network egress; no vendored plonky2 source on disk — checked pip
+packages and the filesystem), so transcript-level parity with the Rust
+reference cannot be pinned here.  Everything ABOVE the constants is
+parity-tested: witness/trace layouts are bit-exact vs host mirrors
+(tests/test_modular.py, test_fq_exp_trace.py), and the in-circuit
+challenger replays the native transcript bit-exactly for OUR constants
+(tests/test_recursion.py::test_recursive_challenger_matches_native), so
+dropping in plonky2's table is a data-only swap with no code change.
 """
 
 from __future__ import annotations

@@ -197,19 +197,38 @@ def _make_aux(stark: Stark):
     """Fully vectorized aux generation: helper pairing via strided slices,
     CTL combination via host-precomputed per-column weight vectors — keeps
     the jitted graph small enough for the remote TPU compiler."""
-    lookup_col_idx = [
-        jnp.asarray(np.array(lk.columns, dtype=np.int64)) for lk in stark.lookups
-    ]
+    from ..starks.table import KeyedLookup
+
+    lookup_col_idx = []
+    for lk in stark.lookups:
+        if isinstance(lk, KeyedLookup):
+            lookup_col_idx.append(
+                (
+                    jnp.asarray(np.array([i for i, _ in lk.pairs], dtype=np.int64)),
+                    jnp.asarray(np.array([v for _, v in lk.pairs], dtype=np.int64)),
+                )
+            )
+        else:
+            lookup_col_idx.append(
+                jnp.asarray(np.array(lk.columns, dtype=np.int64))
+            )
 
     @jax.jit
-    def aux_core(trace_cols, gammas, ctl_weight_specs):
-        """gammas: [num_challenges]; ctl_weight_specs: list (per challenge)
-        of lists (per ctl) of (col_idx [k], weights [k]) arrays."""
+    def aux_core(trace_cols, betas, gammas, ctl_weight_specs):
+        """betas/gammas: [num_challenges]; ctl_weight_specs: list (per
+        challenge) of lists (per ctl) of (col_idx [k], weights [k]) arrays."""
         aux = []
         for i in range(len(ctl_weight_specs)):
             gamma_c = gammas[i]
+            beta_c = betas[i]
             for li, lk in enumerate(stark.lookups):
-                cols = trace_cols[lookup_col_idx[li]]
+                if isinstance(lk, KeyedLookup):
+                    idx_c, val_c = lookup_col_idx[li]
+                    cols = gl.add(
+                        trace_cols[idx_c], gl.mul(trace_cols[val_c], beta_c)
+                    )
+                else:
+                    cols = trace_cols[lookup_col_idx[li]]
                 inv_cols = gl.batch_inv(gl.add(cols, gamma_c))
                 even = inv_cols[0::2]
                 odd = inv_cols[1::2]
@@ -219,9 +238,14 @@ def _make_aux(stark: Stark):
                     )
                 helpers = gl.add(even, odd)  # [n_h, n]
                 h_sum = _tree_reduce0(helpers)
-                table_inv = gl.batch_inv(
-                    gl.add(trace_cols[lk.table_col], gamma_c)
-                )
+                if isinstance(lk, KeyedLookup):
+                    table_raw = gl.add(
+                        trace_cols[lk.table_key_col],
+                        gl.mul(trace_cols[lk.table_val_col], beta_c),
+                    )
+                else:
+                    table_raw = trace_cols[lk.table_col]
+                table_inv = gl.batch_inv(gl.add(table_raw, gamma_c))
                 freq = trace_cols[lk.freq_col]
                 contribution = gl.sub(h_sum, gl.mul(freq, table_inv))
                 aux.append(helpers)
@@ -444,7 +468,19 @@ def prove(
     ctl_values: Dict[int, List[List[int]]],
     config: StarkConfig,
     timing: "timing_mod.TimingTree" = None,
+    mesh=None,
+    mesh_axis: str = "tp",
 ) -> Proof:
+    """When `mesh` is given, the evaluation-point (row) axis of the
+    polynomial batch is sharded over it and every jitted stage runs SPMD —
+    GSPMD inserts the ICI collectives (all-to-alls at the NTT butterfly
+    transposes, permutes at the rolled next-row, gathers at the Merkle
+    tree top).  Rows are the axis that grows with batch size (512·n_ops,
+    min 2^16) and are always a power of two, so the shard is always even;
+    this is the SP-analog sharding from SURVEY §2.  All stage arithmetic
+    is exact mod-p, so the sharded proof is BIT-IDENTICAL to the
+    single-device proof (asserted by
+    tests/test_parallel.py::test_mesh_prove_matches_single_device)."""
     tt = timing_mod.get(timing)
     n, w = trace_rows.shape
     assert w == stark.width
@@ -453,6 +489,12 @@ def prove(
     rate = config.rate_bits
     N = n << rate
     trace_cols = trace_rows.T
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        trace_cols = jax.device_put(
+            trace_cols, NamedSharding(mesh, P(None, mesh_axis))
+        )
 
     key = (stark.name, n_log, config)
     commit = _cached((key, "commit"), lambda: _make_commit(rate, config.cap_height))
@@ -503,7 +545,10 @@ def prove(
 
     # ---- S2: aux columns + commit -------------------------------------
     with tt.scope("aux"):
-        aux_cols = aux_core(trace_cols, jnp.asarray(gammas_np), ctl_weight_specs)
+        aux_cols = aux_core(
+            trace_cols, jnp.asarray(betas_np), jnp.asarray(gammas_np),
+            ctl_weight_specs,
+        )
         a_coeffs, a_lde, a_levels = commit(aux_cols)
         aux_cap = np.asarray(a_levels[-1])
     ch.observe_cap(aux_cap)

@@ -24,6 +24,41 @@ def test_distributed_ntt_matches_single_device():
     np.testing.assert_array_equal(got, want)
 
 
+def test_mesh_prove_matches_single_device():
+    """The REAL prover on the 8-device mesh: same proof, bit for bit
+    (VERDICT r1 item 3: mesh-proved proof verifies and is bit-identical)."""
+    from plonky2_bn254_tpu.prover import prove as prove_mod
+    from plonky2_bn254_tpu.prover import verify as verify_mod
+    from plonky2_bn254_tpu.prover.config import TEST_CONFIG
+    from plonky2_bn254_tpu.starks.demo import demo_stark, demo_trace
+
+    stark = demo_stark()
+    trace, ctl_values = demo_trace(np.random.default_rng(91))
+    single = prove_mod.prove(stark, trace, ctl_values, TEST_CONFIG)
+    m = cpu_mesh(8)
+    sharded = prove_mod.prove(
+        stark, trace, ctl_values, TEST_CONFIG, mesh=m, mesh_axis="dp"
+    )
+    verify_mod.verify(stark, sharded, ctl_values, TEST_CONFIG)
+
+    def flat(proof):
+        out = [np.asarray(proof.trace_cap), np.asarray(proof.aux_cap),
+               np.asarray(proof.quotient_cap)]
+        for vals, vals_g in proof.openings.all_polys_order():
+            out.append(np.asarray([[v.c0, v.c1] for v in vals], dtype=np.uint64))
+            out.append(np.asarray([[v.c0, v.c1] for v in vals_g], dtype=np.uint64))
+        for cap in proof.fri.layer_caps:
+            out.append(np.asarray(cap))
+        out.append(np.asarray([[c.c0, c.c1] for c in proof.fri.final_coeffs],
+                              dtype=np.uint64))
+        out.append(np.asarray([proof.fri.pow_nonce], dtype=np.uint64))
+        out.append(np.asarray(proof.query_indices, dtype=np.int64))
+        return out
+
+    for a, b in zip(flat(single), flat(sharded)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_sharded_column_commit():
     """Column-sharded LDE: each device extends its own polynomials."""
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -6,51 +6,14 @@ machines run — the micro-STARK harness pattern of SURVEY.md §4.4.
 """
 
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
 from plonky2_bn254_tpu.field import goldilocks as gl
 from plonky2_bn254_tpu.prover import prove as prove_mod
 from plonky2_bn254_tpu.prover import verify as verify_mod
 from plonky2_bn254_tpu.prover.config import TEST_CONFIG
-from plonky2_bn254_tpu.starks.air import eval_eq
-from plonky2_bn254_tpu.starks.table import CtlSpec, Lookup, Stark
-
-N_ROWS = 256
-N_CTL = 10
-
-
-def toy_eval(consumer, ring, local, next_):
-    v, double, filt, freq, counter = local
-    nv, nd, nf, nfr, ncounter = next_
-    consumer.constraint(double - v - v)
-    diff = ncounter - counter
-    consumer.constraint_transition(diff * diff - diff)
-    consumer.constraint_last_row(counter - ring.const(N_ROWS - 1))
-    # filter is boolean
-    consumer.constraint(filt * filt - filt)
-
-
-def toy_stark() -> Stark:
-    return Stark(
-        name="toy",
-        width=5,
-        eval_fn=toy_eval,
-        lookups=[Lookup(columns=[0], table_col=4, freq_col=3)],
-        ctls=[CtlSpec(columns=[("single", 0), ("single", 1)], filter_col=2)],
-    )
-
-
-def toy_trace(rng):
-    v = rng.integers(0, N_ROWS, size=N_ROWS).astype(np.uint64)
-    double = (2 * v.astype(object) % gl.P).astype(np.uint64)
-    filt = np.zeros(N_ROWS, dtype=np.uint64)
-    filt[:N_CTL] = 1
-    freq = np.bincount(v.astype(np.int64), minlength=N_ROWS).astype(np.uint64)
-    counter = np.arange(N_ROWS, dtype=np.uint64)
-    rows = np.stack([v, double, filt, freq, counter], axis=1)
-    ctl_values = {0: [[int(v[i]), int(double[i])] for i in range(N_CTL)]}
-    return jnp.asarray(rows), ctl_values
+from plonky2_bn254_tpu.starks.demo import demo_stark as toy_stark
+from plonky2_bn254_tpu.starks.demo import demo_trace as toy_trace
 
 
 def test_toy_roundtrip():
