@@ -211,3 +211,38 @@ def test_hash_to_fq2_circuit_matches_native():
         pw.set_target(t, v)
     values = run_circuit(b, pw)
     assert out.get_witness(values) == native
+
+
+def test_map_to_g2_circuit_matches_native():
+    """map_to_g2 — the hard half of hash_to_g2 (is_square STARK-path calls,
+    sqrt_with_sgn, blinded cofactor mul) — vs the native SW mirror
+    (reference utils/hash_to_g2.rs:113-148), fake backend."""
+    uv = (oracle.random_fq(RNG), oracle.random_fq(RNG))
+    want = h2g.map_to_g2(uv)
+    b = ckt.CircuitBuilder()
+    hook = ckt.get_bn254_hook(b)
+    hook.prove_starks = False
+    u = ckt.Fq2Target.new_unchecked(b)
+    out = h2g.map_to_g2_circuit(b, u)
+    pw = ckt.Witness()
+    u.set_witness(pw, uv)
+    circuit = b.build()
+    values, _ = circuit.prove(pw)
+    assert out.get_witness(values) == want
+
+
+def test_hash_to_g2_circuit_matches_native():
+    """Full hash_to_g2 flow (hash_to_fq2 + map_to_g2) vs native mirror."""
+    inputs = [int(RNG.integers(0, 1 << 60)) for _ in range(4)]
+    want = h2g.hash_to_g2(inputs)
+    b = ckt.CircuitBuilder()
+    hook = ckt.get_bn254_hook(b)
+    hook.prove_starks = False
+    ts = [b.add_virtual_target() for _ in inputs]
+    out = h2g.hash_to_g2_circuit(b, ts)
+    pw = ckt.Witness()
+    for t, v in zip(ts, inputs):
+        pw.set_target(t, v)
+    circuit = b.build()
+    values, _ = circuit.prove(pw)
+    assert out.get_witness(values) == want
