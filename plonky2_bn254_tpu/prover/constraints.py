@@ -29,19 +29,25 @@ from __future__ import annotations
 from typing import List
 
 from ..field import goldilocks as gl
-from ..starks.table import Stark
+from ..starks.table import KeyedLookup, Stark
+
+
+def _n_entries(lookup) -> int:
+    if isinstance(lookup, KeyedLookup):
+        return len(lookup.pairs)
+    return len(lookup.columns)
 
 
 def aux_width(stark: Stark, num_challenges: int) -> int:
     per = 0
     for lk in stark.lookups:
-        per += (len(lk.columns) + 1) // 2 + 1
+        per += (_n_entries(lk) + 1) // 2 + 1
     per += len(stark.ctls)
     return per * num_challenges
 
 
 def helper_count(lookup) -> int:
-    return (len(lookup.columns) + 1) // 2
+    return (_n_entries(lookup) + 1) // 2
 
 
 def ctl_total(ctl_values_rows: List[List[int]], beta: int, gamma: int) -> int:
@@ -101,10 +107,17 @@ def eval_lookup_ctl_constraints(
             helpers = aux_local[off : off + n_h]
             z_loc = aux_local[off + n_h]
             z_next = aux_next[off + n_h]
-            n_pairs = len(lk.columns) // 2
-            odd = len(lk.columns) % 2 == 1
+            n_ent = _n_entries(lk)
+            n_pairs = n_ent // 2
+            odd = n_ent % 2 == 1
+            keyed = isinstance(lk, KeyedLookup)
             if gl_fast:
-                cols = jnp.stack([local[c].v for c in lk.columns])
+                if keyed:
+                    kcols = jnp.stack([local[k].v for k, _ in lk.pairs])
+                    vcols = jnp.stack([local[v].v for _, v in lk.pairs])
+                    cols = gl.add(kcols, gl.mul(vcols, beta_v.v))
+                else:
+                    cols = jnp.stack([local[c].v for c in lk.columns])
                 shifted = gl.add(cols, gamma_v.v[None])
                 hs = jnp.stack([h.v for h in helpers])
                 t1 = shifted[0::2][:n_pairs]
@@ -118,17 +131,28 @@ def eval_lookup_ctl_constraints(
                         helpers[-1] * GL(shifted[-1]) - one
                     )
             else:
+                if keyed:
+                    entries = [
+                        local[k] + local[v] * beta_v for k, v in lk.pairs
+                    ]
+                else:
+                    entries = [local[c] for c in lk.columns]
                 for k in range(n_h):
-                    c1 = local[lk.columns[2 * k]]
-                    if 2 * k + 1 < len(lk.columns):
-                        c2 = local[lk.columns[2 * k + 1]]
-                        t1 = gamma_v + c1
-                        t2 = gamma_v + c2
+                    t1 = gamma_v + entries[2 * k]
+                    if 2 * k + 1 < n_ent:
+                        t2 = gamma_v + entries[2 * k + 1]
                         consumer.constraint(helpers[k] * t1 * t2 - t1 - t2)
                     else:
-                        consumer.constraint(helpers[k] * (gamma_v + c1) - one)
+                        consumer.constraint(helpers[k] * t1 - one)
             # Z recurrence (backwards sum)
-            table = gamma_v + local[lk.table_col]
+            if keyed:
+                table = (
+                    gamma_v
+                    + local[lk.table_key_col]
+                    + local[lk.table_val_col] * beta_v
+                )
+            else:
+                table = gamma_v + local[lk.table_col]
             freq = local[lk.freq_col]
             if gl_fast:
                 from ..prover.prove import _tree_reduce0

@@ -53,3 +53,43 @@ def demo_trace(rng: np.random.Generator):
     rows = np.stack([v, double, filt, freq, counter], axis=1)
     ctl_values = {0: [[int(v[i]), int(double[i])] for i in range(DEMO_N_CTL)]}
     return jnp.asarray(rows), ctl_values
+
+
+def keyed_demo_stark() -> Stark:
+    """6-column machine exercising KeyedLookup: looked-up (key, value)
+    entries in cols (0, 1) must appear among the table rows
+    (col 2 = key, col 3 = 3·key mod p) with frequencies in col 4; a CTL
+    exposes the first DEMO_N_CTL entries. Col 5 is a filter."""
+    from .table import KeyedLookup
+
+    def _eval(consumer, ring, local, next_):
+        filt = local[5]
+        consumer.constraint(filt * filt - filt)
+
+    return Stark(
+        name="keyed_demo",
+        width=6,
+        eval_fn=_eval,
+        lookups=[
+            KeyedLookup(
+                pairs=[(0, 1)], table_key_col=2, table_val_col=3, freq_col=4
+            )
+        ],
+        ctls=[CtlSpec(columns=[("single", 0), ("single", 1)], filter_col=5)],
+    )
+
+
+def keyed_demo_trace(rng: np.random.Generator):
+    idx = rng.integers(0, DEMO_ROWS, size=DEMO_ROWS).astype(np.uint64)
+    key = idx
+    val = (3 * idx.astype(object) % gl.P).astype(np.uint64)
+    table_key = np.arange(DEMO_ROWS, dtype=np.uint64)
+    table_val = (3 * table_key.astype(object) % gl.P).astype(np.uint64)
+    freq = np.bincount(idx.astype(np.int64), minlength=DEMO_ROWS).astype(
+        np.uint64
+    )
+    filt = np.zeros(DEMO_ROWS, dtype=np.uint64)
+    filt[:DEMO_N_CTL] = 1
+    rows = np.stack([key, val, table_key, table_val, freq, filt], axis=1)
+    ctl_values = {0: [[int(key[i]), int(val[i])] for i in range(DEMO_N_CTL)]}
+    return jnp.asarray(rows), ctl_values

@@ -23,6 +23,24 @@ class Lookup:
 
 
 @dataclass(frozen=True)
+class KeyedLookup:
+    """LogUp lookup of (key, value) pairs: every pair in `pairs` (each a
+    (key_col, value_col) index pair, combined as key + beta·value under the
+    LogUp challenge beta) appears among the table rows
+    (table_key_col, table_val_col) with multiplicities in `freq_col`.
+
+    The keyed analog of starky's Lookup — binds a *function* table (e.g. a
+    preprocessed gate-selector or witness permutation table) instead of a
+    plain membership set. Shares the Lookup helper/Z aux layout; entries
+    are the combined pair values."""
+
+    pairs: List[Tuple[int, int]]
+    table_key_col: int
+    table_val_col: int
+    freq_col: int
+
+
+@dataclass(frozen=True)
 class CtlSpec:
     """One looked-table spec of a cross-table lookup with no looking tables
     (CrossTableLookup::new(vec![], looked) — scalar_mul_ctl.rs pattern).

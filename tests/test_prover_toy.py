@@ -49,3 +49,21 @@ def test_toy_rejects_corruption():
     proof3.openings.trace_zeta[0] = proof3.openings.trace_zeta[0] + GLExt(1)
     with pytest.raises(verify_mod.VerificationError):
         verify_mod.verify(stark, proof3, ctl_values, TEST_CONFIG)
+
+
+def test_keyed_lookup_roundtrip():
+    """KeyedLookup: (key, value) pairs bound to a function table via the
+    beta-combined LogUp argument (prover aux + shared constraint path)."""
+    from plonky2_bn254_tpu.starks.demo import keyed_demo_stark, keyed_demo_trace
+
+    rng = np.random.default_rng(7)
+    stark = keyed_demo_stark()
+    trace, ctl_values = keyed_demo_trace(rng)
+    proof = prove_mod.prove(stark, trace, ctl_values, TEST_CONFIG)
+    verify_mod.verify(stark, proof, ctl_values, TEST_CONFIG)
+
+    # a looked-up value off the table function must be rejected
+    bad = trace.at[9, 1].add(1)
+    proof2 = prove_mod.prove(stark, bad, ctl_values, TEST_CONFIG)
+    with pytest.raises(verify_mod.VerificationError):
+        verify_mod.verify(stark, proof2, ctl_values, TEST_CONFIG)
