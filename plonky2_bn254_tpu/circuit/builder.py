@@ -144,6 +144,8 @@ class CircuitBuilder:
         self._template_ids: Dict[tuple, int] = {}
         self.tpl_tids: List[int] = []  # one per templated row
         self.tpl_rows: List[_array] = []  # one index array per row
+        # wires exposed as public inputs of the outer proof
+        self.public_inputs: List[int] = []
 
     # -- targets ---------------------------------------------------------
 
@@ -289,6 +291,13 @@ class CircuitBuilder:
 
     def add_generator(self, gen: Generator):
         self.generators.append(gen)
+
+    def register_public_input(self, t: Target):
+        """Expose a wire as a public input of the outer proof (bound to
+        verifier-supplied values via the outer CTL — reference:
+        plonky2 register_public_input as used by builder.rs tests)."""
+        if t.index not in self.public_inputs:
+            self.public_inputs.append(t.index)
 
     # -- hooks (deferred constraint emission; reference hook.rs) ---------
 

@@ -41,7 +41,10 @@ def verify(
     proof: Proof,
     ctl_values: Dict[int, List[List[int]]],
     config: StarkConfig,
-) -> None:
+) -> GLExt:
+    """Full native verification; returns the opening point `zeta` so
+    wrappers (e.g. the outer circuit verifier) can pin additional
+    polynomial evaluations against the same transcript point."""
     n_log = proof.degree_bits
     n = 1 << n_log
     N = n << config.rate_bits
