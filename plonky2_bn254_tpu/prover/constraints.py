@@ -111,6 +111,7 @@ def eval_lookup_ctl_constraints(
             n_pairs = n_ent // 2
             odd = n_ent % 2 == 1
             keyed = isinstance(lk, KeyedLookup)
+            filters = getattr(lk, "filters", None) if keyed else None
             if gl_fast:
                 if keyed:
                     kcols = jnp.stack([local[k].v for k, _ in lk.pairs])
@@ -122,13 +123,33 @@ def eval_lookup_ctl_constraints(
                 hs = jnp.stack([h.v for h in helpers])
                 t1 = shifted[0::2][:n_pairs]
                 t2 = shifted[1::2]
-                pair_c = gl.sub(
-                    gl.mul(gl.mul(hs[:n_pairs], t1), t2), gl.add(t1, t2)
-                )
+                if filters is not None:
+                    # helper h = f1/t1 + f2/t2:  h t1 t2 - f1 t2 - f2 t1 = 0
+                    fcols = jnp.stack(
+                        [
+                            local[f].v
+                            if f is not None
+                            else jnp.broadcast_to(one.v, local[0].v.shape)
+                            for f in filters
+                        ]
+                    )
+                    f1 = fcols[0::2][:n_pairs]
+                    f2 = fcols[1::2]
+                    pair_c = gl.sub(
+                        gl.mul(gl.mul(hs[:n_pairs], t1), t2),
+                        gl.add(gl.mul(f1, t2), gl.mul(f2, t1)),
+                    )
+                else:
+                    pair_c = gl.sub(
+                        gl.mul(gl.mul(hs[:n_pairs], t1), t2), gl.add(t1, t2)
+                    )
                 consumer.constraint_many_arr(pair_c)
                 if odd:
+                    tail = (
+                        GL(fcols[-1]) if filters is not None else one
+                    )
                     consumer.constraint(
-                        helpers[-1] * GL(shifted[-1]) - one
+                        helpers[-1] * GL(shifted[-1]) - tail
                     )
             else:
                 if keyed:
@@ -137,13 +158,27 @@ def eval_lookup_ctl_constraints(
                     ]
                 else:
                     entries = [local[c] for c in lk.columns]
+
+                def fterm(k, t_other):
+                    # filter[k] * t_other, skipping the mul when unfiltered
+                    if filters is None or filters[k] is None:
+                        return t_other
+                    return local[filters[k]] * t_other
+
                 for k in range(n_h):
                     t1 = gamma_v + entries[2 * k]
                     if 2 * k + 1 < n_ent:
                         t2 = gamma_v + entries[2 * k + 1]
-                        consumer.constraint(helpers[k] * t1 * t2 - t1 - t2)
+                        consumer.constraint(
+                            helpers[k] * t1 * t2 - fterm(2 * k, t2) - fterm(2 * k + 1, t1)
+                        )
                     else:
-                        consumer.constraint(helpers[k] * t1 - one)
+                        if filters is None or filters[2 * k] is None:
+                            consumer.constraint(helpers[k] * t1 - one)
+                        else:
+                            consumer.constraint(
+                                helpers[k] * t1 - local[filters[2 * k]]
+                            )
             # Z recurrence (backwards sum)
             if keyed:
                 table = (

@@ -17,6 +17,7 @@ import functools
 from dataclasses import dataclass, field
 from typing import List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,23 +77,54 @@ def _inv_point_pows(m_log: int, a_bits: int, shift: int):
     return out
 
 
-def fold_layer(values: Ext, m_log: int, a_bits: int, shift: int, beta: GLExt) -> Ext:
-    """One fold: Ext values [M] natural order -> Ext values [M/A]."""
+@functools.lru_cache(maxsize=None)
+def _fold_layer_fn(m_log: int, a_bits: int, shift: int):
+    """Jitted fold for one layer shape; beta enters as a traced [A, 2]
+    power table so the executable is reused across proofs (and so a fold
+    is ONE device dispatch — eager per-op dispatch over the remote-TPU
+    tunnel dominated round-2's FRI wall clock)."""
     M = 1 << m_log
     A = 1 << a_bits
-    v0 = values.c0.reshape(A, M // A)
-    v1 = values.c1.reshape(A, M // A)
-    # iNTT of size A along axis 0 (transpose to last axis)
-    d0 = ntt.intt(v0.T).T  # [A, M/A] coefficients
-    d1 = ntt.intt(v1.T).T
-    inv_pows = jnp.asarray(_inv_point_pows(m_log, a_bits, shift))
-    acc = Ext.zero((M // A,))
-    beta_pow = GLExt.one()
+    inv_pows_np = _inv_point_pows(m_log, a_bits, shift)
+
+    @jax.jit
+    def fold(v0, v1, beta_pows):
+        # iNTT of size A along axis 0 (transpose to last axis)
+        d0 = ntt.intt(v0.reshape(A, M // A).T).T  # [A, M/A] coefficients
+        d1 = ntt.intt(v1.reshape(A, M // A).T).T
+        inv_pows = jnp.asarray(inv_pows_np)
+        t0 = gl.mul(d0, inv_pows)  # [A, M/A]
+        t1 = gl.mul(d1, inv_pows)
+        # (t0 + t1 u) * (b0 + b1 u), u^2 = 7; summed over the A axis
+        b0 = beta_pows[:, 0:1]
+        b1 = beta_pows[:, 1:2]
+        b1w = gl.mul_const(beta_pows[:, 1:2], 7)
+        acc0 = gl.add(gl.mul(t0, b0), gl.mul(t1, b1w))
+        acc1 = gl.add(gl.mul(t0, b1), gl.mul(t1, b0))
+
+        def reduce0(arr):
+            while arr.shape[0] > 1:
+                half = arr.shape[0] // 2
+                arr = gl.add(arr[:half], arr[half:])
+            return arr[0]
+
+        return reduce0(acc0), reduce0(acc1)
+
+    return fold
+
+
+def fold_layer(values: Ext, m_log: int, a_bits: int, shift: int, beta: GLExt) -> Ext:
+    """One fold: Ext values [M] natural order -> Ext values [M/A]."""
+    A = 1 << a_bits
+    beta_pows = np.empty((A, 2), dtype=np.uint64)
+    bp = GLExt.one()
     for j in range(A):
-        term = Ext(gl.mul(d0[j], inv_pows[j]), gl.mul(d1[j], inv_pows[j]))
-        acc = acc + ext_scale_const(term, beta_pow)
-        beta_pow = beta_pow * beta
-    return acc
+        beta_pows[j] = (bp.c0, bp.c1)
+        bp = bp * beta
+    c0, c1 = _fold_layer_fn(m_log, a_bits, shift)(
+        values.c0, values.c1, jnp.asarray(beta_pows)
+    )
+    return Ext(c0, c1)
 
 
 def ext_scale_const(v: Ext, k: GLExt) -> Ext:
@@ -106,32 +138,56 @@ def ext_scale_const(v: Ext, k: GLExt) -> Ext:
     )
 
 
-def _ext_leaves(values: Ext, m_log: int, a_bits: int) -> jnp.ndarray:
-    """Bit-rev group leaves: [M/A, 2A] uint64 rows (c0,c1 interleaved)."""
+@functools.lru_cache(maxsize=None)
+def _ext_leaves_fn(m_log: int, a_bits: int):
     M = 1 << m_log
     A = 1 << a_bits
-    perm = jnp.asarray(bit_rev_perm(m_log))
-    c0 = values.c0[perm].reshape(M // A, A)
-    c1 = values.c1[perm].reshape(M // A, A)
-    return jnp.stack([c0, c1], axis=-1).reshape(M // A, 2 * A)
+    perm_np = bit_rev_perm(m_log)
+
+    @jax.jit
+    def leaves(c0, c1):
+        perm = jnp.asarray(perm_np)
+        l0 = c0[perm].reshape(M // A, A)
+        l1 = c1[perm].reshape(M // A, A)
+        return jnp.stack([l0, l1], axis=-1).reshape(M // A, 2 * A)
+
+    return leaves
+
+
+def _ext_leaves(values: Ext, m_log: int, a_bits: int) -> jnp.ndarray:
+    """Bit-rev group leaves: [M/A, 2A] uint64 rows (c0,c1 interleaved)."""
+    return _ext_leaves_fn(m_log, a_bits)(values.c0, values.c1)
+
+
+@functools.lru_cache(maxsize=None)
+def _pow_grind_fn(pow_bits: int, batch: int):
+    from ..field import poseidon
+
+    @jax.jit
+    def grind(state, start):
+        nonces = start + jnp.arange(batch, dtype=jnp.uint64)
+        states = jnp.broadcast_to(state, (batch, poseidon.WIDTH))
+        states = states.at[:, 0].set(nonces)
+        out = poseidon.permute(states)
+        ok = out[:, 7] >> jnp.uint64(64 - pow_bits) == 0
+        hit = jnp.argmax(ok)  # first True (0 if none)
+        return jnp.any(ok), nonces[hit]
+
+    return grind
 
 
 def pow_grind(challenger, pow_bits: int) -> int:
-    """Find nonce whose challenge has pow_bits leading zero bits (device)."""
-    from ..field import poseidon
-
-    state = list(challenger.state)
-    batch = 1 << max(pow_bits + 2, 12)
+    """Find nonce whose challenge has pow_bits leading zero bits: one
+    device dispatch hashing 2^(pow_bits+4) candidates, two scalars back
+    (round-2's host loop shipped 25 MB state batches through the tunnel)."""
+    state = jnp.asarray(np.array(challenger.state, dtype=np.uint64))
+    batch = 1 << max(pow_bits + 4, 12)
+    grind = _pow_grind_fn(pow_bits, batch)
     start = 0
     while True:
-        nonces = np.arange(start, start + batch, dtype=np.uint64)
-        states = np.tile(np.array(state, dtype=np.uint64), (batch, 1))
-        states[:, 0] = nonces
-        out = np.asarray(poseidon.permute(jnp.asarray(states)))
-        ok = out[:, 7] >> np.uint64(64 - pow_bits) == 0
-        idx = np.nonzero(ok)[0]
-        if len(idx):
-            return int(nonces[idx[0]])
+        found, nonce = grind(state, jnp.uint64(start))
+        if bool(found):
+            return int(nonce)
         start += batch
 
 
@@ -140,6 +196,23 @@ def pow_check(challenger, nonce: int, pow_bits: int) -> bool:
     c.observe_element(nonce % gl.P)
     val = c.get_challenge()
     return (val >> (64 - pow_bits)) == 0
+
+
+@functools.lru_cache(maxsize=None)
+def _final_poly_fn(final_m_log: int, final_shift: int):
+    shift_inv_pows = np.empty(1 << final_m_log, dtype=np.uint64)
+    cur = 1
+    sinv = gl.h_inv(final_shift)
+    for i in range(1 << final_m_log):
+        shift_inv_pows[i] = cur
+        cur = cur * sinv % gl.P
+
+    @jax.jit
+    def final(c0_vals, c1_vals):
+        sp = jnp.asarray(shift_inv_pows)
+        return gl.mul(ntt.intt(c0_vals), sp), gl.mul(ntt.intt(c1_vals), sp)
+
+    return final
 
 
 def domain_shifts_and_sizes(n_log: int, config: StarkConfig):
@@ -158,7 +231,7 @@ def domain_shifts_and_sizes(n_log: int, config: StarkConfig):
 
 
 def prove_fri(values: Ext, n_log: int, config: StarkConfig, challenger,
-              timing=None):
+              timing=None, use_pallas: bool = False):
     """FRI prove for one ext-valued oracle on the LDE coset (natural order).
 
     Returns (FriProof, layer data kept for query extraction).  Layer leaves
@@ -181,7 +254,7 @@ def prove_fri(values: Ext, n_log: int, config: StarkConfig, challenger,
             v = layer_values[-1]
             cap_h = min(config.cap_height, m_log - a)
             leaves = _ext_leaves(v, m_log, a)
-            levels = device_tree_levels(leaves, cap_h)
+            levels = device_tree_levels(leaves, cap_h, use_pallas)
             cap = np.asarray(levels[-1])
             layer_leaves.append(leaves)
             layer_levels.append(levels)
@@ -194,17 +267,9 @@ def prove_fri(values: Ext, n_log: int, config: StarkConfig, challenger,
     # final polynomial: coefficients of the last layer (coset iNTT)
     with tt.scope("fri final poly"):
         last = layer_values[-1]
-        c0 = ntt.intt(last.c0)
-        c1 = ntt.intt(last.c1)
-        shift_inv_pows = np.empty(1 << final_m_log, dtype=np.uint64)
-        cur = 1
-        sinv = gl.h_inv(final_shift)
-        for i in range(1 << final_m_log):
-            shift_inv_pows[i] = cur
-            cur = cur * sinv % gl.P
-        sp = jnp.asarray(shift_inv_pows)
-        c0 = np.asarray(gl.mul(c0, sp))
-        c1 = np.asarray(gl.mul(c1, sp))
+        c0, c1 = jax.device_get(
+            _final_poly_fn(final_m_log, final_shift)(last.c0, last.c1)
+        )
         n_final = 1 << final_deg_bits
         final_coeffs = [GLExt(int(c0[i]), int(c1[i])) for i in range(n_final)]
     for fc in final_coeffs:
@@ -222,16 +287,19 @@ def prove_fri(values: Ext, n_log: int, config: StarkConfig, challenger,
 
     # device-side gather of the queried groups + sibling paths
     with tt.scope("fri query gather"):
+        from .merkle import gather_rows_and_paths
+
         idx_np = np.array(query_indices, dtype=np.int64)
         r = idx_np
         layer_rows = []
         layer_paths = []
         for li, (m_log, shift, a) in enumerate(layers_cfg):
             groups = r >> a
-            layer_rows.append(
-                np.asarray(layer_leaves[li][jnp.asarray(groups)])
+            rows, paths = gather_rows_and_paths(
+                layer_leaves[li], layer_levels[li], groups
             )
-            layer_paths.append(gather_paths(layer_levels[li], groups))
+            layer_rows.append(rows)
+            layer_paths.append(paths)
             r = groups
 
         queries = []

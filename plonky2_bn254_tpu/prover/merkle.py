@@ -64,16 +64,23 @@ def hash_leaves(leaves: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _tree_fn(n: int, width: int, cap_height: int):
+def _tree_fn(n: int, width: int, cap_height: int, use_pallas: bool):
     """One fused jit building the whole tree for a leaf shape: leaf sponge
     plus every compression level in a single executable (one compile per
-    shape instead of one per level)."""
+    shape instead of one per level).  With `use_pallas` (TPU), the leaf
+    sponge runs through the VMEM-resident pallas kernel; the geometric
+    level compressions (~1% of the hash work) stay on the XLA path."""
     n_levels = (n.bit_length() - 1) - cap_height
     assert n_levels >= 0, "cap larger than tree"
 
     @jax.jit
     def build(leaves):
-        digests = poseidon.hash_no_pad(leaves)
+        if use_pallas:
+            from ..field import poseidon_pallas
+
+            digests = poseidon_pallas.hash_leaves(leaves)
+        else:
+            digests = poseidon.hash_no_pad(leaves)
         levels = [digests]
         for _ in range(n_levels):
             digests = poseidon.two_to_one(digests[0::2], digests[1::2])
@@ -83,9 +90,14 @@ def _tree_fn(n: int, width: int, cap_height: int):
     return build
 
 
-def device_tree_levels(leaves: jnp.ndarray, cap_height: int):
+def device_tree_levels(leaves: jnp.ndarray, cap_height: int, use_pallas=False):
     """Device-side tree levels (list of [m, 4] digests), fused per shape."""
-    return _tree_fn(leaves.shape[0], leaves.shape[1], cap_height)(leaves)
+    from ..field import poseidon_pallas
+
+    use_pallas = use_pallas and poseidon_pallas.supports(leaves.shape[0])
+    return _tree_fn(
+        leaves.shape[0], leaves.shape[1], cap_height, use_pallas
+    )(leaves)
 
 
 def build_tree(leaves: jnp.ndarray, cap_height: int) -> MerkleTree:
@@ -94,17 +106,47 @@ def build_tree(leaves: jnp.ndarray, cap_height: int) -> MerkleTree:
     return MerkleTree(levels=[np.asarray(jax.device_get(l)) for l in levels])
 
 
+@jax.jit
+def _gather_paths_dev(levels, idx):
+    paths = []
+    cur = idx
+    for level in levels[:-1]:
+        paths.append(level[cur ^ 1])
+        cur = cur >> 1
+    return paths
+
+
 def gather_paths(levels, indices: np.ndarray):
     """Device-side sibling-path gather for a batch of leaf indices.
 
     `levels`: device digest levels (leaf level first, cap last);
     `indices`: [Q] leaf indices.  Returns a list (per level below the cap)
-    of [Q, 4] numpy digests — the only host transfer is the gathered data.
+    of [Q, 4] numpy digests — ONE device dispatch and one transfer for the
+    whole path set (a per-level eager gather pays a tunnel round trip per
+    level on the remote TPU).
     """
-    paths = []
-    cur = np.asarray(indices, dtype=np.int64)
-    for level in levels[:-1]:
-        sib = cur ^ 1
-        paths.append(np.asarray(level[jnp.asarray(sib)]))
-        cur = cur >> 1
-    return paths
+    idx = jnp.asarray(np.asarray(indices, dtype=np.int64))
+    return [np.asarray(p) for p in jax.device_get(_gather_paths_dev(levels, idx))]
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _gather_rows_paths_dev(lde_or_leaves, levels, idx, leaf_axis):
+    """Rows of the leaf source at `idx` plus sibling paths, one dispatch."""
+    if leaf_axis == 0:
+        rows = lde_or_leaves[idx]
+    else:
+        rows = lde_or_leaves[:, idx].T
+    return rows, _gather_paths_dev(levels, idx)
+
+
+def gather_rows_and_paths(lde_or_leaves, levels, indices: np.ndarray, leaf_axis=0):
+    """([Q, w] numpy rows, [height][Q, 4] numpy paths) in one round trip.
+
+    `leaf_axis=0`: source is [N, w] leaf rows; `leaf_axis=1`: source is a
+    [w, N] column-major LDE (rows are gathered along the point axis).
+    """
+    idx = jnp.asarray(np.asarray(indices, dtype=np.int64))
+    rows, paths = jax.device_get(
+        _gather_rows_paths_dev(lde_or_leaves, levels, idx, leaf_axis)
+    )
+    return np.asarray(rows), [np.asarray(p) for p in paths]

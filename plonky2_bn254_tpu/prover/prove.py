@@ -97,11 +97,11 @@ def _rev_cumsum(values: jnp.ndarray) -> jnp.ndarray:
     return acc[::-1]
 
 
-def _tree_levels(leaves: jnp.ndarray, cap_height: int):
+def _tree_levels(leaves: jnp.ndarray, cap_height: int, use_pallas: bool = False):
     """[N, L] leaves -> list of digest levels (one fused jit per shape)."""
     from .merkle import device_tree_levels
 
-    return device_tree_levels(leaves, cap_height)
+    return device_tree_levels(leaves, cap_height, use_pallas)
 
 
 def _domain_arrays(n_log: int, rate_bits: int):
@@ -139,7 +139,7 @@ def _domain_arrays(n_log: int, rate_bits: int):
 # ---------------------------------------------------------------------------
 
 
-def _make_commit(rate_bits: int, cap_height: int):
+def _make_commit(rate_bits: int, cap_height: int, use_pallas: bool = False):
     # NOT fused into one jit: XLA's algebraic simplifier loops pathologically
     # on the large fused graph; the component kernels (intt / coset_lde /
     # hash / per-level compress) are each jitted and cached individually.
@@ -156,7 +156,7 @@ def _make_commit(rate_bits: int, cap_height: int):
         perm = jnp.asarray(bit_rev_perm(n_big.bit_length() - 1))
         with tt.scope("merkle"):
             leaves = _gather_t(lde, perm)
-            levels = sync(_tree_levels(leaves, cap_height))
+            levels = sync(_tree_levels(leaves, cap_height, use_pallas))
         return coeffs, lde, levels
 
     return commit
@@ -167,13 +167,18 @@ def _gather_t(lde, perm):
     return lde[:, perm].T
 
 
-def _make_commit_coeffs(rate_bits: int, cap_height: int):
+@jax.jit
+def _gather_t_rows(lde, idx):
+    return lde[:, idx].T
+
+
+def _make_commit_coeffs(rate_bits: int, cap_height: int, use_pallas: bool = False):
     def commit(coeffs):
         lde = ntt.coset_lde_from_coeffs(coeffs, rate_bits)
         n_big = lde.shape[-1]
         perm = jnp.asarray(bit_rev_perm(n_big.bit_length() - 1))
         leaves = _gather_t(lde, perm)
-        levels = _tree_levels(leaves, cap_height)
+        levels = _tree_levels(leaves, cap_height, use_pallas)
         return lde, levels
 
     return commit
@@ -202,10 +207,21 @@ def _make_aux(stark: Stark):
     lookup_col_idx = []
     for lk in stark.lookups:
         if isinstance(lk, KeyedLookup):
+            filters = getattr(lk, "filters", None)
+            filt_idx = None
+            if filters is not None:
+                # -1 marks unfiltered pairs (multiplied by constant 1)
+                filt_idx = jnp.asarray(
+                    np.array(
+                        [f if f is not None else -1 for f in filters],
+                        dtype=np.int64,
+                    )
+                )
             lookup_col_idx.append(
                 (
                     jnp.asarray(np.array([i for i, _ in lk.pairs], dtype=np.int64)),
                     jnp.asarray(np.array([v for _, v in lk.pairs], dtype=np.int64)),
+                    filt_idx,
                 )
             )
         else:
@@ -222,14 +238,23 @@ def _make_aux(stark: Stark):
             gamma_c = gammas[i]
             beta_c = betas[i]
             for li, lk in enumerate(stark.lookups):
+                filt_idx = None
                 if isinstance(lk, KeyedLookup):
-                    idx_c, val_c = lookup_col_idx[li]
+                    idx_c, val_c, filt_idx = lookup_col_idx[li]
                     cols = gl.add(
                         trace_cols[idx_c], gl.mul(trace_cols[val_c], beta_c)
                     )
                 else:
                     cols = trace_cols[lookup_col_idx[li]]
                 inv_cols = gl.batch_inv(gl.add(cols, gamma_c))
+                if filt_idx is not None:
+                    # helper terms become filter/(gamma+entry); -1 = unfiltered
+                    fcols = jnp.where(
+                        (filt_idx >= 0)[:, None],
+                        trace_cols[jnp.maximum(filt_idx, 0)],
+                        jnp.uint64(1),
+                    )
+                    inv_cols = gl.mul(inv_cols, fcols)
                 even = inv_cols[0::2]
                 odd = inv_cols[1::2]
                 if odd.shape[0] < even.shape[0]:
@@ -488,7 +513,7 @@ def prove(
     assert n == 1 << n_log
     rate = config.rate_bits
     N = n << rate
-    trace_cols = trace_rows.T
+    trace_cols = jnp.asarray(trace_rows).T
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -496,10 +521,23 @@ def prove(
             trace_cols, NamedSharding(mesh, P(None, mesh_axis))
         )
 
-    key = (stark.name, n_log, config)
-    commit = _cached((key, "commit"), lambda: _make_commit(rate, config.cap_height))
+    # pallas leaf hashing: single real TPU only (the CPU test mesh and the
+    # XLA path stay bit-identical — the kernel computes the same sponge)
+    try:
+        use_pallas = mesh is None and all(
+            d.platform == "tpu" for d in trace_cols.devices()
+        )
+    except Exception:
+        use_pallas = False
+
+    key = (stark.name, n_log, config, use_pallas)
+    commit = _cached(
+        (key, "commit"),
+        lambda: _make_commit(rate, config.cap_height, use_pallas),
+    )
     commit_c = _cached(
-        (key, "commit_coeffs"), lambda: _make_commit_coeffs(rate, config.cap_height)
+        (key, "commit_coeffs"),
+        lambda: _make_commit_coeffs(rate, config.cap_height, use_pallas),
     )
     aux_core = _cached((key, "aux"), lambda: _make_aux(stark))
     quotient_core = _cached(
@@ -513,7 +551,7 @@ def prove(
     # (round-1 pulled the full ~1.3 GB of LDEs + every level to host,
     # which was 57s of a 75s proof).
     with tt.scope("trace commit"):
-        t_coeffs, t_lde, t_levels = commit(trace_cols)
+        t_coeffs, t_lde, t_levels = commit(trace_cols, tt)
         trace_cap = np.asarray(t_levels[-1])
     ch = Challenger()
     ch.observe_element(n_log)
@@ -654,24 +692,28 @@ def prove(
 
     with tt.scope("fri"):
         fri_proof, query_indices, fri_query_layers = fri_mod.prove_fri(
-            F, n_log, config, ch, timing=tt
+            F, n_log, config, ch, timing=tt, use_pallas=use_pallas
         )
 
     # initial tree openings per query: device-side gather of the Q queried
     # rows and their sibling paths; only ~Q*(width+4*height) values land on
     # host.
     with tt.scope("query extraction"):
+        from .merkle import gather_rows_and_paths
+
         big_perm = bit_rev_perm(n_log + rate)
         idx_np = np.array(query_indices, dtype=np.int64)
         nat_np = big_perm[idx_np].astype(np.int64)
-        nat_dev = jnp.asarray(nat_np)
         query_initials = [[] for _ in query_indices]
         for lde, levels in (
             (t_lde, t_levels),
             (a_lde, a_levels),
             (q_lde, q_levels),
         ):
-            rows = np.asarray(lde[:, nat_dev].T)  # [Q, width]
+            # one dispatch + one transfer per tree: queried rows are
+            # gathered at the natural-order LDE positions, sibling paths
+            # at the bit-reversed leaf indices
+            rows = np.asarray(jax.device_get(_gather_t_rows(lde, jnp.asarray(nat_np))))
             paths = gather_paths(levels, idx_np)  # [height][Q, 4]
             for qi in range(len(query_indices)):
                 query_initials[qi].append(

@@ -32,12 +32,19 @@ class KeyedLookup:
     The keyed analog of starky's Lookup — binds a *function* table (e.g. a
     preprocessed gate-selector or witness permutation table) instead of a
     plain membership set. Shares the Lookup helper/Z aux layout; entries
-    are the combined pair values."""
+    are the combined pair values.
+
+    `filters` (optional, parallel to `pairs`): a filter column per pair —
+    a cell participates in the lookup only where its filter is 1 (filter
+    values must be boolean).  `None` entries (or filters=None) mean the
+    pair binds on every row.  Used by the outer circuit's Poseidon region,
+    whose state cells bind wires only on block boundary rows."""
 
     pairs: List[Tuple[int, int]]
     table_key_col: int
     table_val_col: int
     freq_col: int
+    filters: Tuple = None
 
 
 @dataclass(frozen=True)
