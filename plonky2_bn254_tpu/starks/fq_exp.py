@@ -132,7 +132,8 @@ def add_range_checks(rows: jnp.ndarray) -> jnp.ndarray:
     counter = jnp.minimum(jnp.arange(num_rows), range_max - 1).astype(jnp.uint64)
     rows = rows.at[:, RANGE_COUNTER_COL].set(counter)
     vals = rows[:, RANGE_CHECK_COLS.start : RANGE_CHECK_COLS.stop].astype(jnp.int32)
-    freq = jnp.bincount(vals.reshape(-1), length=num_rows).astype(jnp.uint64)
+    from .histogram import bincount16
+    freq = bincount16(vals, num_rows)
     rows = rows.at[:, FREQ_COL].set(freq)
     return rows
 
