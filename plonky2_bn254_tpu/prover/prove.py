@@ -104,8 +104,13 @@ def _tree_levels(leaves: jnp.ndarray, cap_height: int, use_pallas: bool = False)
     return device_tree_levels(leaves, cap_height, use_pallas)
 
 
+@functools.lru_cache(maxsize=None)
 def _domain_arrays(n_log: int, rate_bits: int):
-    """(xs, inv_z_h, z_last, l_first, l_last) on the LDE coset (constants)."""
+    """(xs, inv_z_h, z_last, l_first, l_last) on the LDE coset (constants).
+
+    Computed EAGERLY on device once per shape and cached: inlining these
+    batch-inverse chains into a jitted consumer triggers the XLA-CPU
+    scalarization pathology (see _make_aux note)."""
     n = 1 << n_log
     big_n_log = n_log + rate_bits
     N = 1 << big_n_log
@@ -198,10 +203,73 @@ def _tree_reduce0(arr):
     return arr[0]
 
 
+# The aux pipeline is a PYTHON composition of small jitted stages, NOT one
+# fused jit: this environment's XLA CPU scalarizes fusions that chain the
+# u64-emulated combine producers into the deep Fermat-inverse chain
+# (~5.5 ms/element — a 6700x slowdown, measured; a jit-executable boundary
+# between them restores vectorized codegen).  The extra dispatches are
+# negligible on TPU (same data movement, ~20 launches per proof).
+
+
+@jax.jit
+def _aux_combine_keyed(trace_cols, idx_c, val_c, beta, gamma):
+    """gamma + key + beta*value for every (key, value) pair column."""
+    return gl.add(
+        gl.add(trace_cols[idx_c], gl.mul(trace_cols[val_c], beta)), gamma
+    )
+
+
+@jax.jit
+def _aux_gather_add(trace_cols, col_idx, gamma):
+    return gl.add(trace_cols[col_idx], gamma)
+
+
+@jax.jit
+def _aux_filter_cols(trace_cols, filt_idx):
+    """filter columns per pair; -1 = unfiltered (constant 1)."""
+    return jnp.where(
+        (filt_idx >= 0)[:, None],
+        trace_cols[jnp.maximum(filt_idx, 0)],
+        jnp.uint64(1),
+    )
+
+
+@jax.jit
+def _aux_mul(a, b):
+    return gl.mul(a, b)
+
+
+@jax.jit
+def _aux_helpers(inv_cols):
+    even = inv_cols[0::2]
+    odd = inv_cols[1::2]
+    if odd.shape[0] < even.shape[0]:
+        odd = jnp.concatenate([odd, jnp.zeros_like(even[:1])], axis=0)
+    return gl.add(even, odd)
+
+
+@jax.jit
+def _aux_z(helpers, table_inv, freq):
+    h_sum = _tree_reduce0(helpers)
+    contribution = gl.sub(h_sum, gl.mul(freq, table_inv))
+    return _rev_cumsum(contribution)[None]
+
+
+@jax.jit
+def _aux_ctl_acc(trace_cols, col_idx, weights, gamma):
+    weighted = gl.mul(trace_cols[col_idx], weights[:, None])
+    return gl.add(_tree_reduce0(weighted), gamma)
+
+
+@jax.jit
+def _aux_ctl_z(filt, inv_acc):
+    return _rev_cumsum(gl.mul(filt, inv_acc))[None]
+
+
 def _make_aux(stark: Stark):
-    """Fully vectorized aux generation: helper pairing via strided slices,
-    CTL combination via host-precomputed per-column weight vectors — keeps
-    the jitted graph small enough for the remote TPU compiler."""
+    """Aux-column pipeline: helper pairing via strided slices, CTL
+    combination via host-precomputed per-column weight vectors, composed
+    from the small jitted stages above (see the fusion-pathology note)."""
     from ..starks.table import KeyedLookup
 
     lookup_col_idx = []
@@ -228,8 +296,26 @@ def _make_aux(stark: Stark):
             lookup_col_idx.append(
                 jnp.asarray(np.array(lk.columns, dtype=np.int64))
             )
+    table_pair_idx = [
+        jnp.asarray(
+            np.array(
+                [lk.table_key_col, lk.table_val_col]
+                if isinstance(lk, KeyedLookup)
+                else [lk.table_col],
+                dtype=np.int64,
+            )
+        )
+        for lk in stark.lookups
+    ]
+    freq_idx = [
+        jnp.asarray(np.array([lk.freq_col], dtype=np.int64))
+        for lk in stark.lookups
+    ]
+    ctl_filter_idx = [
+        jnp.asarray(np.array([ctl.filter_col], dtype=np.int64))
+        for ctl in stark.ctls
+    ]
 
-    @jax.jit
     def aux_core(trace_cols, betas, gammas, ctl_weight_specs):
         """betas/gammas: [num_challenges]; ctl_weight_specs: list (per
         challenge) of lists (per ctl) of (col_idx [k], weights [k]) arrays."""
@@ -241,48 +327,39 @@ def _make_aux(stark: Stark):
                 filt_idx = None
                 if isinstance(lk, KeyedLookup):
                     idx_c, val_c, filt_idx = lookup_col_idx[li]
-                    cols = gl.add(
-                        trace_cols[idx_c], gl.mul(trace_cols[val_c], beta_c)
+                    cols = _aux_combine_keyed(
+                        trace_cols, idx_c, val_c, beta_c, gamma_c
+                    )
+                    table_raw = _aux_combine_keyed(
+                        trace_cols,
+                        table_pair_idx[li][0:1],
+                        table_pair_idx[li][1:2],
+                        beta_c,
+                        gamma_c,
                     )
                 else:
-                    cols = trace_cols[lookup_col_idx[li]]
-                inv_cols = gl.batch_inv(gl.add(cols, gamma_c))
+                    cols = _aux_gather_add(
+                        trace_cols, lookup_col_idx[li], gamma_c
+                    )
+                    table_raw = _aux_gather_add(
+                        trace_cols, table_pair_idx[li], gamma_c
+                    )
+                inv_cols = gl.batch_inv(cols)
                 if filt_idx is not None:
                     # helper terms become filter/(gamma+entry); -1 = unfiltered
-                    fcols = jnp.where(
-                        (filt_idx >= 0)[:, None],
-                        trace_cols[jnp.maximum(filt_idx, 0)],
-                        jnp.uint64(1),
+                    inv_cols = _aux_mul(
+                        inv_cols, _aux_filter_cols(trace_cols, filt_idx)
                     )
-                    inv_cols = gl.mul(inv_cols, fcols)
-                even = inv_cols[0::2]
-                odd = inv_cols[1::2]
-                if odd.shape[0] < even.shape[0]:
-                    odd = jnp.concatenate(
-                        [odd, jnp.zeros_like(even[:1])], axis=0
-                    )
-                helpers = gl.add(even, odd)  # [n_h, n]
-                h_sum = _tree_reduce0(helpers)
-                if isinstance(lk, KeyedLookup):
-                    table_raw = gl.add(
-                        trace_cols[lk.table_key_col],
-                        gl.mul(trace_cols[lk.table_val_col], beta_c),
-                    )
-                else:
-                    table_raw = trace_cols[lk.table_col]
-                table_inv = gl.batch_inv(gl.add(table_raw, gamma_c))
-                freq = trace_cols[lk.freq_col]
-                contribution = gl.sub(h_sum, gl.mul(freq, table_inv))
+                helpers = _aux_helpers(inv_cols)
+                table_inv = gl.batch_inv(table_raw)[0]
+                freq = trace_cols[freq_idx[li]][0]
                 aux.append(helpers)
-                aux.append(_rev_cumsum(contribution)[None])
+                aux.append(_aux_z(helpers, table_inv, freq))
             for c_idx, ctl in enumerate(stark.ctls):
                 col_idx, weights = ctl_weight_specs[i][c_idx]
-                gathered = trace_cols[col_idx]  # [k, n]
-                weighted = gl.mul(gathered, weights[:, None])
-                acc = gl.add(_tree_reduce0(weighted), gamma_c)
-                filt = trace_cols[ctl.filter_col]
-                contribution = gl.mul(filt, gl.batch_inv(acc))
-                aux.append(_rev_cumsum(contribution)[None])
+                acc = _aux_ctl_acc(trace_cols, col_idx, weights, gamma_c)
+                filt = trace_cols[ctl_filter_idx[c_idx]][0]
+                aux.append(_aux_ctl_z(filt, gl.batch_inv(acc)))
         return jnp.concatenate(aux, axis=0)
 
     return aux_core
@@ -345,8 +422,7 @@ def _make_quotient(stark: Stark, n_log: int, config: StarkConfig):
         return jnp.roll(arr, -step, axis=1)
 
     @jax.jit
-    def finish(accs):
-        _, inv_z_h, _, _, _ = _domain_arrays(n_log, rate)
+    def finish(accs, inv_z_h):
         shift_inv_pows = jnp.asarray(shift_inv_pows_np)
         q_chunks = []
         for i in range(accs.shape[0]):
@@ -373,16 +449,26 @@ def _make_quotient(stark: Stark, n_log: int, config: StarkConfig):
                 )
             )
         accs = jnp.concatenate(acc_parts, axis=1)
-        return finish(accs)
+        return finish(accs, inv_z_h)
 
     return quotient_core
 
 
 def _make_openings(n: int):
+    # powers chain and the big dot live in separate executables (XLA-CPU
+    # scalarization pathology; see _make_aux note)
     @jax.jit
+    def powers(z0, z1):
+        p = _ext_powers(z0, z1, n)
+        return p.c0, p.c1
+
+    @jax.jit
+    def dots(coeffs, p0, p1):
+        return _mod_dot(coeffs, p0), _mod_dot(coeffs, p1)
+
     def openings_core(coeffs, z0, z1):
-        pows = _ext_powers(z0, z1, n)
-        return _mod_dot(coeffs, pows.c0), _mod_dot(coeffs, pows.c1)
+        p0, p1 = powers(z0, z1)
+        return dots(coeffs, p0, p1)
 
     return openings_core
 
@@ -400,18 +486,14 @@ def _ext_batch_inv(v: Ext) -> Ext:
 
 
 def _make_fri_oracle(n_polys: int, N: int):
-    @jax.jit
-    def fri_oracle(all_lde, alpha_pows, s_zeta, s_zeta_g, zeta, zeta_g, alpha_off):
-        """alpha_pows: [n_polys, 2] host-precomputed powers of the FRI alpha
-        (c0, c1); other args are [2] uint64 extension pairs.
+    # Python-composed jitted stages with the inverse chains at executable
+    # boundaries (same XLA-CPU scalarization pathology as _make_aux).
 
-        S = sum_j alpha^j f_j as a direct weighted mod-sum (log-depth
+    @jax.jit
+    def fri_S(all_lde, alpha_pows):
+        """S = sum_j alpha^j f_j as a direct weighted mod-sum (log-depth
         reduction) — an unrolled 565-step Horner chain compiles into a
-        pathologically slow XLA CPU executable.
-        """
-        xs = gl.mul_const(
-            jnp.asarray(_xs_np(N)), gl.MULTIPLICATIVE_GROUP_GENERATOR
-        )
+        pathologically slow XLA CPU executable."""
         # f_j are base-field: (alpha^j * f_j).c0 = p0_j f_j, .c1 = p1_j f_j
         t0 = gl.mul(all_lde, alpha_pows[:, 0:1])
         t1 = gl.mul(all_lde, alpha_pows[:, 1:2])
@@ -428,21 +510,45 @@ def _make_fri_oracle(n_polys: int, N: int):
                 arr = gl.add(arr[:half], arr[half:])
             return arr[0]
 
-        S = Ext(reduce0(t0), reduce0(t1))
+        return reduce0(t0), reduce0(t1)
+
+    @jax.jit
+    def diff_and_norm(point):
+        xs = gl.mul_const(
+            jnp.asarray(_xs_np(N)), gl.MULTIPLICATIVE_GROUP_GENERATOR
+        )
+        d = Ext(
+            gl.sub(xs, point[0]),
+            jnp.broadcast_to(gl.neg(point[1]), (N,)),
+        )
+        norm = gl.sub(gl.square(d.c0), gl.mul_const(gl.square(d.c1), 7))
+        return d.c0, d.c1, norm
+
+    @jax.jit
+    def combine(S0, S1, d0, d1, ninv, s_at):
+        inv_diff = Ext(gl.mul(d0, ninv), gl.mul(gl.neg(d1), ninv))
+        num = Ext(gl.sub(S0, s_at[0]), gl.sub(S1, s_at[1]))
+        out = num * inv_diff
+        return out.c0, out.c1
+
+    @jax.jit
+    def finish(b0, b1, bg0, bg1, alpha_off):
+        scaled = ext_scale(Ext(bg0, bg1), alpha_off[0], alpha_off[1])
+        return gl.add(b0, scaled.c0), gl.add(b1, scaled.c1)
+
+    def fri_oracle(all_lde, alpha_pows, s_zeta, s_zeta_g, zeta, zeta_g, alpha_off):
+        """alpha_pows: [n_polys, 2] host-precomputed powers of the FRI
+        alpha (c0, c1); other args are [2] uint64 extension pairs."""
+        S0, S1 = fri_S(all_lde, alpha_pows)
 
         def reduced(point, s_at):
-            diff = Ext(
-                gl.sub(xs, point[0]),
-                jnp.broadcast_to(gl.neg(point[1]), (N,)),
-            )
-            inv_diff = _ext_batch_inv(diff)
-            num = Ext(gl.sub(S.c0, s_at[0]), gl.sub(S.c1, s_at[1]))
-            return num * inv_diff
+            d0, d1, norm = diff_and_norm(point)
+            ninv = gl.batch_inv(norm)
+            return combine(S0, S1, d0, d1, ninv, s_at)
 
-        B = reduced(zeta, s_zeta)
-        B_g = reduced(zeta_g, s_zeta_g)
-        scaled = ext_scale(B_g, alpha_off[0], alpha_off[1])
-        return gl.add(B.c0, scaled.c0), gl.add(B.c1, scaled.c1)
+        b0, b1 = reduced(zeta, s_zeta)
+        bg0, bg1 = reduced(zeta_g, s_zeta_g)
+        return finish(b0, b1, bg0, bg1, alpha_off)
 
     return fri_oracle
 

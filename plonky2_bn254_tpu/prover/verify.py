@@ -202,3 +202,4 @@ def verify(
             ),
             f"fri query {qi}",
         )
+    return zeta
