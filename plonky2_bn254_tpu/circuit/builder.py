@@ -146,6 +146,11 @@ class CircuitBuilder:
         self.tpl_rows: List[_array] = []  # one index array per row
         # wires exposed as public inputs of the outer proof
         self.public_inputs: List[int] = []
+        # first-class Poseidon permutation ops: (in_indices[12], out_indices[12]).
+        # Constrained by the outer proof's dedicated Poseidon-round region
+        # (circuit/outer.py) — the plonky2 PoseidonGate analog — instead of
+        # ~500 universal-gate rows each; checked natively by Circuit.check.
+        self.poseidon_ops: List[Tuple[List[int], List[int]]] = []
 
     # -- targets ---------------------------------------------------------
 
@@ -490,6 +495,14 @@ class Circuit:
                 raise ValueError(
                     f"range check violated: t{idx} = {values[idx]} >= 2^{bits}"
                 )
+        # Poseidon permutation ops (outer proof: dedicated round region)
+        if self.builder.poseidon_ops:
+            from ..field.poseidon import h_permute
+
+            for oi, (ins, outs) in enumerate(self.builder.poseidon_ops):
+                got = h_permute([values[i] for i in ins])
+                if got != [values[o] for o in outs]:
+                    raise ValueError(f"poseidon op {oi} violated")
 
     def prove(self, pw: Witness):
         """Witness generation + constraint check + deferred proof payloads.
@@ -505,3 +518,41 @@ class Circuit:
             if getattr(hook, "proof", None) is not None:
                 proofs[key] = hook.proof
         return values, proofs
+
+    # -- composed product: ONE verifiable artifact ------------------------
+
+    def outer_data(self, table_bits: int = 16):
+        """Compile (once) the whole recorded constraint system — including
+        any in-circuit recursive STARK verifiers the hooks emitted — onto
+        the universal-gate outer STARK.  The result doubles as the
+        verifier key (`OuterData.vk_coeffs` pins every constant column)."""
+        cache = getattr(self, "_outer_cache", None)
+        if cache is None:
+            cache = self._outer_cache = {}
+        if table_bits not in cache:
+            from . import outer
+
+            cache[table_bits] = outer.compile_outer(self, table_bits)
+        return cache[table_bits]
+
+    def prove_all(self, pw: Witness, config=None, table_bits: int = 16):
+        """The reference's `data.prove(pw)` (plonky2 prove as driven by
+        /root/reference/src/builder.rs:178-260): generate the witness
+        (the hooks prove + inject the batch STARK proofs, whose recursive
+        verifiers live in this constraint system), then produce ONE outer
+        STARK proof over the whole circuit.  Returns (proof, publics) — a
+        single artifact a third party verifies with `verify_all` (or
+        `outer.verify_outer` given only the verifier key), no witness
+        regeneration involved."""
+        from . import outer
+
+        values = self.generate_witness(pw)
+        data = self.outer_data(table_bits)
+        return outer.prove_outer(data, values, config)
+
+    def verify_all(self, proof, publics, config=None, table_bits: int = 16):
+        """Verify the composed artifact against this circuit's verifier
+        key (reference: `data.verify(proof)`)."""
+        from . import outer
+
+        outer.verify_outer(self.outer_data(table_bits), proof, publics, config)

@@ -38,6 +38,7 @@ class Bn254Hook:
         self.prove_starks = True
         self.stark_config = None  # default chosen at constrain time
         self.proof = None  # {kind: (proof, ctl_values)}
+        self.proof_targets = {}  # {kind: StarkProofTarget} (set at build)
 
     def constrain(self, builder: CircuitBuilder):
         """Emit the deferred batch-STARK generators (hook.rs:56-90)."""
@@ -132,6 +133,7 @@ class Bn254Hook:
         }[kind]
         stark = mk()
         proof_t = add_virtual_stark_proof(builder, stark, degree_bits, config)
+        self.proof_targets[kind] = proof_t
         verify_stark_proof_circuit(builder, stark, proof_t, ctl_target_rows, config)
 
         # ---- witness-time: prove, self-verify, inject proof -------------

@@ -62,6 +62,10 @@ P = gl.P
 # R range-limb columns (R is computed from the circuit's range checks).
 Q_TERMS = 4
 S_SLOTS = 10
+# Poseidon region: rows per permutation block (30 round rows + output row;
+# no pad row needed — `pactive` is 0 on the output row, so the transition
+# into the next block is unconstrained)
+POS_BLOCK = 31
 
 
 # ---------------------------------------------------------------------------
@@ -286,11 +290,15 @@ def _range_recipe(bits: int, table_bits: int):
 # ---------------------------------------------------------------------------
 
 
+W12 = 12  # Poseidon width
+
+
 @dataclass(frozen=True)
 class OuterLayout:
     S: int
     Q: int
     R: int
+    NP: int = 0  # 1 when the Poseidon-round region is present
 
     @property
     def v(self):
@@ -312,9 +320,22 @@ class OuterLayout:
     def rfreq(self):
         return self.S + self.R + 2
 
+    # --- Poseidon region witness columns (present when NP) ---------------
+    @property
+    def ps(self):  # 12 state lanes (round-boundary states)
+        return self.S + self.R + 3
+
+    @property
+    def px3(self):  # 12 sbox aux: (s+rc)^3
+        return self.ps + W12
+
+    @property
+    def px7(self):  # 12 sbox aux: (s+rc)^7
+        return self.px3 + W12
+
     @property
     def idx(self):
-        return self.S + self.R + 3
+        return self.S + self.R + 3 + (3 * W12 if self.NP else 0)
 
     @property
     def qcol(self):
@@ -344,9 +365,30 @@ class OuterLayout:
     def range_table(self):
         return self.is_pub + 1
 
+    # --- Poseidon region constant columns (after range_table when NP) ----
+    @property
+    def prc(self):  # 12 per-row round constants
+        return self.range_table + 1
+
+    @property
+    def pidx(self):  # 12 wire ids (binding rows only)
+        return self.prc + W12
+
+    @property
+    def pactive(self):  # 1 on round rows 0..29 of each block
+        return self.pidx + W12
+
+    @property
+    def pfull(self):  # 1 on full-round rows
+        return self.pactive + 1
+
+    @property
+    def pbind(self):  # 1 on block rows 0 (inputs) and 30 (outputs)
+        return self.pfull + 1
+
     @property
     def width(self):
-        return self.range_table + 1
+        return self.range_table + 1 + ((2 * W12 + 3) if self.NP else 0)
 
     @property
     def const_cols(self):
@@ -354,6 +396,10 @@ class OuterLayout:
 
 
 def _make_eval_fn(lay: OuterLayout):
+    from ..field.poseidon_constants import MDS as _MDS
+
+    mds = [[int(x) for x in row] for row in _MDS]
+
     def eval_outer_gate(consumer, ring, local, next_):
         acc = local[lay.c0col]
         for k in range(lay.Q):
@@ -366,20 +412,58 @@ def _make_eval_fn(lay: OuterLayout):
             acc = acc + local[lay.ecol + j] * local[lay.r + j]
         consumer.constraint(acc)
 
+        if not lay.NP:
+            return
+        # --- Poseidon-round region (plonky2 PoseidonGate analog) ---------
+        # Row r of a 32-row block holds the state BEFORE round r (r<30);
+        # row 30 holds the output state; row 31 pads.  u = state + rc;
+        # x3/x7 are unfiltered sbox aux (outside blocks ps=rc=0 so 0=0^3
+        # holds); the transition (filtered by the constant `pactive`
+        # column, which is 0 on block/trace boundaries so row wraparound
+        # is excluded) applies the MDS matrix to the per-lane selection
+        # pfull ? x7 : u (lane 0 always sboxed on active rows).
+        pfull = local[lay.pfull]
+        pactive = local[lay.pactive]
+        us, sels = [], []
+        for e in range(W12):
+            u = local[lay.ps + e] + local[lay.prc + e]
+            x3 = local[lay.px3 + e]
+            x7 = local[lay.px7 + e]
+            consumer.constraint(x3 - u * u * u)
+            consumer.constraint(x7 - x3 * x3 * u)
+            us.append(u)
+            if e == 0:
+                sels.append(x7)
+            else:
+                sels.append(pfull * x7 + u - pfull * u)
+        for e in range(W12):
+            acc_e = None
+            for j in range(W12):
+                term = sels[j].scalar_mul(mds[e][j])
+                acc_e = term if acc_e is None else acc_e + term
+            consumer.constraint(pactive * (next_[lay.ps + e] - acc_e))
+
     return eval_outer_gate
 
 
 def outer_stark(lay: OuterLayout) -> Stark:
+    pairs = [(lay.idx + j, lay.v + j) for j in range(lay.S)]
+    filters = None
+    if lay.NP:
+        # Poseidon state lanes bind wires only on block boundary rows
+        pairs = pairs + [(lay.pidx + e, lay.ps + e) for e in range(W12)]
+        filters = tuple([None] * lay.S + [lay.pbind] * W12)
     return Stark(
-        name=f"outer_s{lay.S}q{lay.Q}r{lay.R}",
+        name=f"outer_s{lay.S}q{lay.Q}r{lay.R}p{lay.NP}",
         width=lay.width,
         eval_fn=_make_eval_fn(lay),
         lookups=[
             KeyedLookup(
-                pairs=[(lay.idx + j, lay.v + j) for j in range(lay.S)],
+                pairs=pairs,
                 table_key_col=lay.wit_key,
                 table_val_col=lay.wit_val,
                 freq_col=lay.wfreq,
+                filters=filters,
             ),
             Lookup(
                 columns=[lay.r + j for j in range(lay.R)],
@@ -425,6 +509,17 @@ class OuterData:
     # verifier key: coefficient form of every constant column ([n_const, n])
     vk_coeffs: np.ndarray = None
     const_cols_np: np.ndarray = None  # [n_const, n] value form (prover)
+    # Poseidon region: permutation wire matrices ([n_pos, 12] each)
+    pos_in: np.ndarray = None
+    pos_out: np.ndarray = None
+
+    @property
+    def n_pos(self):
+        return 0 if self.pos_in is None else self.pos_in.shape[0]
+
+    @property
+    def pos_base(self):  # first row of the Poseidon region
+        return self.n_gate_rows
 
 
 def compile_outer(circuit: Circuit, table_bits: int = 16) -> OuterData:
@@ -499,10 +594,13 @@ def compile_outer(circuit: Circuit, table_bits: int = 16) -> OuterData:
 
     n_wires = aux_cursor
     pub_wires = list(getattr(b, "public_inputs", []))
-    n_rows_min = max(n_gate_rows, n_wires, 1 << table_bits, 8)
+    pos_ops = list(getattr(b, "poseidon_ops", []))
+    n_pos = len(pos_ops)
+    used_rows = n_gate_rows + POS_BLOCK * n_pos
+    n_rows_min = max(used_rows, n_wires, 1 << table_bits, 8)
     n_log = (n_rows_min - 1).bit_length()
 
-    lay = OuterLayout(S=S_SLOTS, Q=Q_TERMS, R=max_R)
+    lay = OuterLayout(S=S_SLOTS, Q=Q_TERMS, R=max_R, NP=1 if n_pos else 0)
     data = OuterData(
         lay=lay,
         stark=outer_stark(lay),
@@ -512,6 +610,16 @@ def compile_outer(circuit: Circuit, table_bits: int = 16) -> OuterData:
         n_log=n_log,
         table_bits=table_bits,
         pub_wires=pub_wires,
+        pos_in=np.array([i for i, _ in pos_ops], dtype=np.int64).reshape(
+            n_pos, 12
+        )
+        if n_pos
+        else None,
+        pos_out=np.array([o for _, o in pos_ops], dtype=np.int64).reshape(
+            n_pos, 12
+        )
+        if n_pos
+        else None,
     )
     _build_const_cols(data)
     return data
@@ -559,6 +667,38 @@ def _build_const_cols(data: OuterData):
     cc(lay.range_table)[:] = np.arange(n, dtype=np.uint64) & (
         (1 << data.table_bits) - 1
     )
+    if data.n_pos:
+        from ..field.poseidon_constants import (
+            FULL_ROUNDS,
+            N_ROUNDS,
+            ROUND_CONSTANTS,
+        )
+
+        half = FULL_ROUNDS // 2
+        rc = np.asarray(ROUND_CONSTANTS).reshape(N_ROUNDS, W12)
+        n_pos = data.n_pos
+        base = data.pos_base
+        # strided views over the block region: [col, op, row-in-block]
+        reg = cols[:, base : base + POS_BLOCK * n_pos].reshape(
+            cols.shape[0], n_pos, POS_BLOCK
+        )
+
+        def rr(col):
+            return reg[col - lay.idx]
+
+        for r in range(N_ROUNDS):
+            for e in range(W12):
+                rr(lay.prc + e)[:, r] = rc[r, e]
+            rr(lay.pactive)[:, r] = 1
+            if r < half or r >= N_ROUNDS - half:
+                rr(lay.pfull)[:, r] = 1
+        rr(lay.pbind)[:, 0] = 1
+        rr(lay.pbind)[:, N_ROUNDS] = 1
+        for e in range(W12):
+            rr(lay.pidx + e)[:, 0] = data.pos_in[:, e].astype(np.uint64)
+            rr(lay.pidx + e)[:, N_ROUNDS] = data.pos_out[:, e].astype(
+                np.uint64
+            )
     data.const_cols_np = cols
     # vk: coefficient form (intt), evaluated at zeta by the verifier
     import jax.numpy as jnp
@@ -686,12 +826,60 @@ def build_outer_trace(data: OuterData, values: Dict[int, int]):
     slot_region[unwritten & (slot_region != W[0])] = W[0]
     # (cells with idx 0 always hold W[0]; written cells with idx!=0 stay)
 
+    # --- Poseidon region: round-boundary states + sbox aux ---------------
+    if data.n_pos:
+        from ..field.poseidon_constants import (
+            FULL_ROUNDS,
+            MDS as _MDS,
+            N_ROUNDS,
+            ROUND_CONSTANTS,
+        )
+
+        half = FULL_ROUNDS // 2
+        rc = np.asarray(ROUND_CONSTANTS).reshape(N_ROUNDS, W12)
+        mds_u = _MDS.astype(np.uint64)
+        n_pos = data.n_pos
+        base = data.pos_base
+        reg = trace[:, base : base + POS_BLOCK * n_pos].reshape(
+            trace.shape[0], n_pos, POS_BLOCK
+        )
+        state = W[data.pos_in]  # [n_pos, 12]
+        for r in range(N_ROUNDS + 1):
+            rc_r = rc[r] if r < N_ROUNDS else np.zeros(W12, dtype=np.uint64)
+            u = np_gl.add(state, rc_r[None, :])
+            x3 = np_gl.mul(np_gl.mul(u, u), u)
+            x7 = np_gl.mul(np_gl.mul(x3, x3), u)
+            for e in range(W12):
+                reg[lay.ps + e, :, r] = state[:, e]
+                reg[lay.px3 + e, :, r] = x3[:, e]
+                reg[lay.px7 + e, :, r] = x7[:, e]
+            if r == N_ROUNDS:
+                break
+            full = r < half or r >= N_ROUNDS - half
+            sel = x7 if full else np.concatenate([x7[:, :1], u[:, 1:]], axis=1)
+            nxt = np.zeros_like(state)
+            for e in range(W12):
+                acc = None
+                for j in range(W12):
+                    t = np_gl.mul(sel[:, j], mds_u[e, j])
+                    acc = t if acc is None else np_gl.add(acc, t)
+                nxt[:, e] = acc
+            state = nxt
+        out_vals = W[data.pos_out]
+        assert (state == out_vals).all(), "poseidon op output mismatch"
+
     # witness table + frequencies
     trace[lay.wit_val] = W
     idx_cells = data.const_cols_np[0 : lay.S]
     wfreq = np.bincount(
         idx_cells.astype(np.int64).ravel(), minlength=n
     ).astype(np.uint64)
+    if data.n_pos:
+        # binding rows contribute their pidx cells to the witness lookup
+        bind_idx = np.concatenate(
+            [data.pos_in.ravel(), data.pos_out.ravel()]
+        )
+        wfreq = wfreq + np.bincount(bind_idx, minlength=n).astype(np.uint64)
     trace[lay.wfreq] = wfreq
     r_cells = trace[lay.r : lay.r + lay.R].astype(np.int64).ravel()
     rcounts = np.bincount(r_cells, minlength=1 << B).astype(np.uint64)

@@ -49,126 +49,32 @@ def _sbox_monomials(c: int):
     return monomials
 
 
-def _permute_templates(builder: CircuitBuilder):
-    """Intern the 478 per-round constraint templates once per builder:
-    rows of one permutation differ only in target indices, so every
-    permutation in the circuit shares these shapes."""
-    cached = getattr(builder, "_poseidon_tpl", None)
-    if cached is not None:
-        return cached
-    rounds = []
-    for r in range(N_ROUNDS):
-        full = r < _HALF_FULL or r >= _HALF_FULL + PARTIAL_ROUNDS
-        if full:
-            sbox_tids = [
-                builder.add_template(_sbox_monomials(int(_RC[r][i])))
-                for i in range(WIDTH)
-            ]
-            # MDS over sbox outputs (pending consts all 0)
-            mds_tids = [
-                builder.add_template(
-                    [
-                        (_MDS_INT[i][j] % gl.P, (j,))
-                        for j in range(WIDTH)
-                    ]
-                    + [(gl.P - 1, (WIDTH,))]
-                )
-                for i in range(WIDTH)
-            ]
-        else:
-            sbox_tids = [builder.add_template(_sbox_monomials(int(_RC[r][0])))]
-            # lane 0 is the sbox output (const 0); lanes >=1 still carry
-            # this round's constants
-            mds_tids = []
-            for i in range(WIDTH):
-                const = (
-                    sum(_MDS_INT[i][j] * int(_RC[r][j]) for j in range(1, WIDTH))
-                    % gl.P
-                )
-                monomials = [
-                    (_MDS_INT[i][j] % gl.P, (j,)) for j in range(WIDTH)
-                ]
-                if const:
-                    monomials.append((const, ()))
-                monomials.append((gl.P - 1, (WIDTH,)))
-                mds_tids.append(builder.add_template(monomials))
-        rounds.append((full, sbox_tids, mds_tids))
-    builder._poseidon_tpl = rounds
-    return rounds
-
-
-# per permutation: 118 sbox outputs + 360 mds outputs
-_N_SBOX = WIDTH * FULL_ROUNDS + PARTIAL_ROUNDS
-_N_NEW = _N_SBOX + WIDTH * N_ROUNDS
-
-
 def permute_indices(builder: CircuitBuilder, state: List[int]) -> List[int]:
-    """Constrained Poseidon permutation over target indices: 478 templated
-    constraint rows + ONE batch witness generator."""
+    """Constrained Poseidon permutation over target indices.
+
+    Recorded as ONE first-class poseidon op (12 in wires, 12 out wires)
+    plus one native witness generator.  The constraint lives in the outer
+    proof's dedicated Poseidon-round region (circuit/outer.py: 32 trace
+    rows per permutation, transition constraints over round-boundary
+    states — the plonky2 PoseidonGate analog, replacing the ~500
+    universal-gate rows per permutation that made recursion-scale outer
+    traces infeasible) and in Circuit.check's native replay."""
     assert len(state) == WIDTH
-    rounds = _permute_templates(builder)
-    base = builder.reserve_indices(_N_NEW)
-    nxt = base
+    base = builder.reserve_indices(WIDTH)
+    outs = list(range(base, base + WIDTH))
     in_indices = list(state)
-    lanes = list(state)
+    builder.poseidon_ops.append((in_indices, outs))
 
-    for full, sbox_tids, mds_tids in rounds:
-        if full:
-            sboxed = []
-            for i in range(WIDTH):
-                out = nxt
-                nxt += 1
-                builder.emit(sbox_tids[i], (lanes[i], out))
-                sboxed.append(out)
-        else:
-            out = nxt
-            nxt += 1
-            builder.emit(sbox_tids[0], (lanes[0], out))
-            sboxed = [out] + lanes[1:]
-        new_lanes = []
-        for i in range(WIDTH):
-            o = nxt
-            nxt += 1
-            builder.emit(mds_tids[i], sboxed + [o])
-            new_lanes.append(o)
-        lanes = new_lanes
+    def run(w, in_indices=in_indices, outs=outs):
+        from ..field.poseidon import h_permute
 
-    def run(w, in_indices=in_indices, base=base):
-        """Native replay writing every intermediate (one generator per
-        permutation keeps the witness fixpoint cheap)."""
-        values = {}
-        v = [w[i] for i in in_indices]
-        nxt = base
-        for r in range(N_ROUNDS):
-            full = r < _HALF_FULL or r >= _HALF_FULL + PARTIAL_ROUNDS
-            u = [(x + int(_RC[r][i])) % gl.P for i, x in enumerate(v)]
-            if full:
-                s = [pow(x, ALPHA, gl.P) for x in u]
-                for i in range(WIDTH):
-                    values[nxt] = s[i]
-                    nxt += 1
-            else:
-                s = [pow(u[0], ALPHA, gl.P)] + u[1:]
-                values[nxt] = s[0]
-                nxt += 1
-            v = [
-                sum(_MDS_INT[rr][j] * s[j] for j in range(WIDTH)) % gl.P
-                for rr in range(WIDTH)
-            ]
-            for rr in range(WIDTH):
-                values[nxt] = v[rr]
-                nxt += 1
-        return values
+        v = h_permute([w[i] for i in in_indices])
+        return dict(zip(outs, v))
 
     builder.add_generator(
-        Generator(
-            in_indices,
-            list(range(base, base + _N_NEW)),
-            run,
-            "poseidon_permute",
-        )
+        Generator(in_indices, outs, run, "poseidon_permute")
     )
-    return lanes
+    return outs
 
 
 def permute_targets(builder: CircuitBuilder, state: List[Target]) -> List[Target]:

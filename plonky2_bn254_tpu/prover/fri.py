@@ -285,22 +285,31 @@ def prove_fri(values: Ext, n_log: int, config: StarkConfig, challenger,
         challenger.get_challenge() % big_n for _ in range(config.num_query_rounds)
     ]
 
-    # device-side gather of the queried groups + sibling paths
+    # device-side gather of the queried groups + sibling paths: dispatch
+    # every layer's gathers, then ONE host pull (per-layer pulls cost a
+    # tunnel round trip each on the remote TPU)
     with tt.scope("fri query gather"):
-        from .merkle import gather_rows_and_paths
+        from .merkle import _gather_paths_dev, _gather_rows_paths_dev
 
         idx_np = np.array(query_indices, dtype=np.int64)
         r = idx_np
-        layer_rows = []
-        layer_paths = []
+        pending = []
         for li, (m_log, shift, a) in enumerate(layers_cfg):
             groups = r >> a
-            rows, paths = gather_rows_and_paths(
-                layer_leaves[li], layer_levels[li], groups
+            pending.append(
+                _gather_rows_paths_dev(
+                    layer_leaves[li],
+                    layer_levels[li],
+                    jnp.asarray(groups),
+                    0,
+                )
             )
-            layer_rows.append(rows)
-            layer_paths.append(paths)
             r = groups
+        pulled = jax.device_get(pending)
+        layer_rows = [np.asarray(rows) for rows, _ in pulled]
+        layer_paths = [
+            [np.asarray(p) for p in paths] for _, paths in pulled
+        ]
 
         queries = []
         for qi in range(len(query_indices)):

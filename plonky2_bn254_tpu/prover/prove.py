@@ -490,13 +490,14 @@ def _make_fri_oracle(n_polys: int, N: int):
     # boundaries (same XLA-CPU scalarization pathology as _make_aux).
 
     @jax.jit
-    def fri_S(all_lde, alpha_pows):
-        """S = sum_j alpha^j f_j as a direct weighted mod-sum (log-depth
+    def fri_S_part(lde, alpha_pows, acc0, acc1):
+        """Partial S += sum_j alpha^j f_j over one LDE batch (log-depth
         reduction) — an unrolled 565-step Horner chain compiles into a
-        pathologically slow XLA CPU executable."""
+        pathologically slow XLA CPU executable, and concatenating the
+        three LDE batches into one array doubles peak HBM."""
         # f_j are base-field: (alpha^j * f_j).c0 = p0_j f_j, .c1 = p1_j f_j
-        t0 = gl.mul(all_lde, alpha_pows[:, 0:1])
-        t1 = gl.mul(all_lde, alpha_pows[:, 1:2])
+        t0 = gl.mul(lde, alpha_pows[:, 0:1])
+        t1 = gl.mul(lde, alpha_pows[:, 1:2])
 
         def reduce0(arr):
             while arr.shape[0] > 1:
@@ -510,7 +511,7 @@ def _make_fri_oracle(n_polys: int, N: int):
                 arr = gl.add(arr[:half], arr[half:])
             return arr[0]
 
-        return reduce0(t0), reduce0(t1)
+        return gl.add(acc0, reduce0(t0)), gl.add(acc1, reduce0(t1))
 
     @jax.jit
     def diff_and_norm(point):
@@ -536,10 +537,18 @@ def _make_fri_oracle(n_polys: int, N: int):
         scaled = ext_scale(Ext(bg0, bg1), alpha_off[0], alpha_off[1])
         return gl.add(b0, scaled.c0), gl.add(b1, scaled.c1)
 
-    def fri_oracle(all_lde, alpha_pows, s_zeta, s_zeta_g, zeta, zeta_g, alpha_off):
-        """alpha_pows: [n_polys, 2] host-precomputed powers of the FRI
-        alpha (c0, c1); other args are [2] uint64 extension pairs."""
-        S0, S1 = fri_S(all_lde, alpha_pows)
+    def fri_oracle(lde_batches, alpha_pows, s_zeta, s_zeta_g, zeta, zeta_g, alpha_off):
+        """lde_batches: list of [k_i, N] LDE batches (trace, aux, quotient);
+        alpha_pows: [n_polys, 2] host-precomputed powers of the FRI alpha
+        (c0, c1); other args are [2] uint64 extension pairs."""
+        S0 = jnp.zeros((N,), jnp.uint64)
+        S1 = jnp.zeros((N,), jnp.uint64)
+        off = 0
+        for lde in lde_batches:
+            k = lde.shape[0]
+            S0, S1 = fri_S_part(lde, alpha_pows[off : off + k], S0, S1)
+            off += k
+        assert off == n_polys
 
         def reduced(point, s_at):
             d0, d1, norm = diff_and_norm(point)
@@ -696,6 +705,7 @@ def prove(
         a_coeffs, a_lde, a_levels = commit(aux_cols)
         aux_cap = np.asarray(a_levels[-1])
     ch.observe_cap(aux_cap)
+    del aux_cols, trace_cols  # queries read the LDEs, not the values
 
     ctl_totals_np = np.array(
         [
@@ -738,20 +748,28 @@ def prove(
     zeta_g = zeta.scalar_mul(g)
 
     with tt.scope("openings"):
+        # dispatch all six open batches, then ONE host pull (each pull is
+        # a full tunnel round trip on the remote TPU)
+        pending = [
+            openings_core(coeffs, jnp.uint64(z.c0), jnp.uint64(z.c1))
+            for coeffs in (t_coeffs, a_coeffs, q_chunks)
+            for z in (zeta, zeta_g)
+        ]
+        pulled = jax.device_get(pending)
 
-        def open_at(coeffs, z):
-            r0, r1 = openings_core(coeffs, jnp.uint64(z.c0), jnp.uint64(z.c1))
-            r0, r1 = np.asarray(r0), np.asarray(r1)
+        def mk(r):
+            r0, r1 = r
             return [GLExt(int(a), int(b)) for a, b in zip(r0, r1)]
 
         openings = Openings(
-            trace_zeta=open_at(t_coeffs, zeta),
-            trace_zeta_g=open_at(t_coeffs, zeta_g),
-            aux_zeta=open_at(a_coeffs, zeta),
-            aux_zeta_g=open_at(a_coeffs, zeta_g),
-            quotient_zeta=open_at(q_chunks, zeta),
-            quotient_zeta_g=open_at(q_chunks, zeta_g),
+            trace_zeta=mk(pulled[0]),
+            trace_zeta_g=mk(pulled[1]),
+            aux_zeta=mk(pulled[2]),
+            aux_zeta_g=mk(pulled[3]),
+            quotient_zeta=mk(pulled[4]),
+            quotient_zeta_g=mk(pulled[5]),
         )
+    del t_coeffs, a_coeffs  # openings done; only LDEs are queried below
     for vals, vals_g in openings.all_polys_order():
         for v in vals:
             ch.observe_extension(v)
@@ -784,9 +802,8 @@ def prove(
         alpha_pows_rows.append([apow.c0, apow.c1])
         apow = apow * fri_alpha
     with tt.scope("fri oracle"):
-        all_lde = jnp.concatenate([t_lde, a_lde, q_lde], axis=0)
         F0, F1 = fri_oracle(
-            all_lde,
+            [t_lde, a_lde, q_lde],
             jnp.asarray(np.array(alpha_pows_rows, dtype=np.uint64)),
             pair(S_zeta),
             pair(S_zeta_g),
@@ -805,25 +822,30 @@ def prove(
     # rows and their sibling paths; only ~Q*(width+4*height) values land on
     # host.
     with tt.scope("query extraction"):
-        from .merkle import gather_rows_and_paths
+        from .merkle import _gather_paths_dev
 
         big_perm = bit_rev_perm(n_log + rate)
         idx_np = np.array(query_indices, dtype=np.int64)
         nat_np = big_perm[idx_np].astype(np.int64)
+        nat_dev = jnp.asarray(nat_np)
+        idx_dev = jnp.asarray(idx_np)
+        # dispatch the row + sibling-path gathers for all three trees,
+        # then pull everything in ONE tunnel round trip
+        pending = [
+            (_gather_t_rows(lde, nat_dev), _gather_paths_dev(levels, idx_dev))
+            for lde, levels in (
+                (t_lde, t_levels),
+                (a_lde, a_levels),
+                (q_lde, q_levels),
+            )
+        ]
+        pulled = jax.device_get(pending)
         query_initials = [[] for _ in query_indices]
-        for lde, levels in (
-            (t_lde, t_levels),
-            (a_lde, a_levels),
-            (q_lde, q_levels),
-        ):
-            # one dispatch + one transfer per tree: queried rows are
-            # gathered at the natural-order LDE positions, sibling paths
-            # at the bit-reversed leaf indices
-            rows = np.asarray(jax.device_get(_gather_t_rows(lde, jnp.asarray(nat_np))))
-            paths = gather_paths(levels, idx_np)  # [height][Q, 4]
+        for rows, paths in pulled:
+            rows = np.asarray(rows)
             for qi in range(len(query_indices)):
                 query_initials[qi].append(
-                    (rows[qi], [lvl[qi] for lvl in paths])
+                    (rows[qi], [np.asarray(lvl)[qi] for lvl in paths])
                 )
 
     return Proof(
