@@ -58,6 +58,19 @@ def test_mesh_prove_matches_single_device():
     for a, b in zip(flat(single), flat(sharded)):
         np.testing.assert_array_equal(a, b)
 
+    # 2-axis mesh (multi-host analog): rows sharded over dp (DCN-like,
+    # outer) x tp (ICI-like, inner).  GSPMD propagates the 2-D sharding
+    # through every stage; the proof stays bit-identical.
+    from jax.sharding import Mesh
+
+    m2 = Mesh(np.array(cpu_mesh(8).devices).reshape(2, 4), ("dp", "tp"))
+    sharded2 = prove_mod.prove(
+        stark, trace, ctl_values, TEST_CONFIG, mesh=m2, mesh_axis=("dp", "tp")
+    )
+    verify_mod.verify(stark, sharded2, ctl_values, TEST_CONFIG)
+    for a, b in zip(flat(single), flat(sharded2)):
+        np.testing.assert_array_equal(a, b)
+
 
 def test_sharded_column_commit():
     """Column-sharded LDE: each device extends its own polynomials."""
