@@ -256,6 +256,74 @@ def permute_pairs_reference(los, his):
     return _permute_pairs(los, his, rc_read)
 
 
+def _permute_pairs_loops(los, his, rc_read):
+    """Poseidon permutation with the round schedule under fori_loop.
+
+    Three loops (full / partial / full) with the per-round constants read
+    dynamically via `rc_read(r, e)`; the graph holds TWO round bodies
+    instead of thirty.  The fully-unrolled `_permute_pairs` compiles each
+    Merkle `build` executable to ~20 MB, which costs ~40 s PER SHAPE to
+    compile/ship to the remote chip every process start — the loop variant
+    trades a small in-kernel loop overhead for a ~10x smaller executable.
+
+    int32 bounds/carries throughout: under x64 mode python-int loop bounds
+    trace as i64, which Mosaic cannot legalize back to i32.
+    """
+
+    def add_rc(r, los, his):
+        out_l, out_h = [], []
+        for e in range(WIDTH):
+            clo, chi = rc_read(r, e)
+            l, h = gl_add(los[e], his[e], clo, chi)
+            out_l.append(l)
+            out_h.append(h)
+        return out_l, out_h
+
+    def full_body(r, carry):
+        los, his = list(carry[0]), list(carry[1])
+        los, his = add_rc(r, los, his)
+        for e in range(WIDTH):
+            los[e], his[e] = _sbox(los[e], his[e])
+        los, his = _mds(los, his)
+        return (tuple(los), tuple(his))
+
+    def partial_body(r, carry):
+        los, his = list(carry[0]), list(carry[1])
+        los, his = add_rc(r, los, his)
+        los[0], his[0] = _sbox(los[0], his[0])
+        los, his = _mds(los, his)
+        return (tuple(los), tuple(his))
+
+    carry = (tuple(los), tuple(his))
+    carry = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(_HALF_FULL), full_body, carry
+    )
+    carry = jax.lax.fori_loop(
+        jnp.int32(_HALF_FULL),
+        jnp.int32(_HALF_FULL + PARTIAL_ROUNDS),
+        partial_body,
+        carry,
+    )
+    carry = jax.lax.fori_loop(
+        jnp.int32(_HALF_FULL + PARTIAL_ROUNDS),
+        jnp.int32(N_ROUNDS),
+        full_body,
+        carry,
+    )
+    return list(carry[0]), list(carry[1])
+
+
+def permute_pairs_loops_reference(los, his):
+    """XLA (non-pallas) evaluation of the looped variant, for tests."""
+    rc_lo = jnp.asarray(_RC_LO)
+    rc_hi = jnp.asarray(_RC_HI)
+
+    def rc_read(r, e):
+        return rc_lo[r, e], rc_hi[r, e]
+
+    return _permute_pairs_loops(los, his, rc_read)
+
+
 # ---------------------------------------------------------------------------
 # leaf-hash kernel
 # ---------------------------------------------------------------------------
@@ -288,7 +356,7 @@ def _make_leaf_kernel(n_chunks: int, cg: int):
             for e in range(SPONGE_RATE):
                 los[e] = leaf_lo_ref[0, pl.ds(cc, 1), e][0]
                 his[e] = leaf_hi_ref[0, pl.ds(cc, 1), e][0]
-            los, his = _permute_pairs(los, his, rc_read)
+            los, his = _permute_pairs_loops(los, his, rc_read)
             valid = gcg * cg + cc < n_chunks
             new = (tuple(los), tuple(his))
             return jax.tree_util.tree_map(

@@ -25,10 +25,15 @@ def cpu_devices():
     return jax.local_devices(backend="cpu")
 
 # Persistent XLA compilation cache: eager-mode prover code compiles many
-# small kernels; cache them across test processes.
+# small kernels; cache them across test processes.  Tests always execute on
+# the forced-host CPU devices (jax_default_device above), so the cache is
+# keyed by the *device* platform, not jax.default_backend() — under the
+# axon TPU plugin default_backend() reports "tpu" even though every test
+# runs on CPU, which used to scatter CPU executables into .jax_cache_tpu.
 import pathlib
 
-_cache_dir = pathlib.Path(__file__).resolve().parent.parent / f".jax_cache_{jax.default_backend()}"
+_cache_platform = jax.local_devices(backend="cpu")[0].platform
+_cache_dir = pathlib.Path(__file__).resolve().parent.parent / f".jax_cache_{_cache_platform}"
 _cache_dir.mkdir(exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -109,3 +109,26 @@ def test_pallas_pair_arith_matches_host():
     ]
     want = poseidon.h_permute([int(x) for x in state])
     assert got == want
+
+
+def test_pallas_pair_arith_loops_matches_host():
+    """The fori-loop round-schedule variant (what the TPU Merkle kernel
+    actually runs — chosen for its ~10x smaller executable) matches the
+    host permutation too."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plonky2_bn254_tpu.field import goldilocks as gl
+    from plonky2_bn254_tpu.field import poseidon_pallas as pp
+
+    state = np.arange(12, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    state %= np.uint64(gl.P)
+    los = [jnp.full((4,), jnp.uint32(int(x) & 0xFFFFFFFF)) for x in state]
+    his = [jnp.full((4,), jnp.uint32(int(x) >> 32)) for x in state]
+    olo, ohi = pp.permute_pairs_loops_reference(los, his)
+    got = [
+        (int(np.asarray(h)[0]) << 32) | int(np.asarray(l)[0])
+        for l, h in zip(olo, ohi)
+    ]
+    want = poseidon.h_permute([int(x) for x in state])
+    assert got == want
