@@ -67,9 +67,16 @@ def hash_leaves(leaves: jnp.ndarray) -> jnp.ndarray:
 def _tree_fn(n: int, width: int, cap_height: int, use_pallas: bool):
     """One fused jit building the whole tree for a leaf shape: leaf sponge
     plus every compression level in a single executable (one compile per
-    shape instead of one per level).  With `use_pallas` (TPU), the leaf
-    sponge runs through the VMEM-resident pallas kernel; the geometric
-    level compressions (~1% of the hash work) stay on the XLA path."""
+    shape instead of one per level).
+
+    With `use_pallas` (TPU), BOTH the leaf sponge and every level
+    compression run through the VMEM-resident pallas kernel:
+    two_to_one(l, r) == hash_no_pad(l || r) (zero capacity, one rate-8
+    chunk), so a level is the leaf kernel on [m/2, 8] pair rows — small
+    levels are zero-padded up to one kernel tile.  The alternative (an
+    inlined XLA Poseidon per level) compiled each build executable to
+    ~15-20 MB, which costs ~10 s PER SHAPE to ship to the remote chip at
+    every process start."""
     n_levels = (n.bit_length() - 1) - cap_height
     assert n_levels >= 0, "cap larger than tree"
 
@@ -83,7 +90,17 @@ def _tree_fn(n: int, width: int, cap_height: int, use_pallas: bool):
             digests = poseidon.hash_no_pad(leaves)
         levels = [digests]
         for _ in range(n_levels):
-            digests = poseidon.two_to_one(digests[0::2], digests[1::2])
+            pairs = jnp.concatenate([digests[0::2], digests[1::2]], axis=-1)
+            if use_pallas:
+                from ..field import poseidon_pallas
+
+                m = pairs.shape[0]
+                pad = max(poseidon_pallas.TILE, m) - m
+                if pad:
+                    pairs = jnp.pad(pairs, ((0, pad), (0, 0)))
+                digests = poseidon_pallas.hash_leaves(pairs)[:m]
+            else:
+                digests = poseidon.two_to_one(digests[0::2], digests[1::2])
             levels.append(digests)
         return levels
 

@@ -49,8 +49,8 @@ def _const_row(limbs_int) -> jnp.ndarray:
     return jnp.asarray(np.array(limbs_int, dtype=np.int64))
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def carry_prop(coeffs: jnp.ndarray, n_out: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnums=(1,), static_argnames=("unroll",))
+def carry_prop(coeffs: jnp.ndarray, n_out: int, unroll: bool = False) -> jnp.ndarray:
     """Signed coefficient vector -> canonical limbs in [0, 2^16).
 
     Propagates carries left-to-right for `n_out` limbs; input may be
@@ -61,6 +61,12 @@ def carry_prop(coeffs: jnp.ndarray, n_out: int) -> jnp.ndarray:
     Implemented as a lax.scan over the limb axis: the carry chain is
     inherently sequential, and the scan keeps the jit graph tiny (this
     function is instantiated hundreds of times inside the trace-gen scans).
+
+    `unroll=True` flattens the carry chain into straight-line code: inside
+    the 256-step sequential chain scans (jacobian.py) the nested scan's
+    per-iteration overhead dominates trace generation (~550k inner loop
+    iterations per G1 batch, measured ~1s of a 3.8s proof), so the chain
+    bodies trade graph size for zero inner-loop overhead.
     """
     n_in = coeffs.shape[-1]
     if n_in < n_out:
@@ -74,35 +80,56 @@ def carry_prop(coeffs: jnp.ndarray, n_out: int) -> jnp.ndarray:
         limb = t & LIMB_MASK
         return (t - limb) >> LIMB_BITS, limb
 
-    _, limbs = jax.lax.scan(step, jnp.zeros_like(x[0]), x)
+    _, limbs = jax.lax.scan(step, jnp.zeros_like(x[0]), x, unroll=unroll)
     return jnp.moveaxis(limbs, 0, -1)
+
+
+def _shift_add(terms, widths, n_out):
+    """Sum of `terms[i]` (width widths[i]) shifted left by i limbs, as
+    pad+add (slices/concats) — scatter-free: `.at[].add` lowers to XLA
+    scatter, which is both slow on TPU and bloats the compiled executable
+    (these products sit inside every mulmod of the 256-step chain scans)."""
+    out = None
+    for i, (t, w) in enumerate(zip(terms, widths)):
+        padded = jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(i, n_out - w - i)])
+        out = padded if out is None else out + padded
+    return out
 
 
 def _pol_mul_arrays(a: jnp.ndarray, b_const: list) -> jnp.ndarray:
     """[..., na] limb tensor times a constant limb list -> [..., na+nb-1]."""
     na = a.shape[-1]
     nb = len(b_const)
-    out = jnp.zeros(a.shape[:-1] + (na + nb - 1,), jnp.int64)
+    terms, widths, offs = [], [], []
     for j, bj in enumerate(b_const):
         if bj == 0:
             continue
-        out = out.at[..., j : j + na].add(a * jnp.int64(bj))
+        terms.append(a * jnp.int64(bj))
+        widths.append(na)
+        offs.append(j)
+    n_out = na + nb - 1
+    out = None
+    for t, w, j in zip(terms, widths, offs):
+        padded = jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(j, n_out - w - j)])
+        out = padded if out is None else out + padded
+    if out is None:
+        out = jnp.zeros(a.shape[:-1] + (n_out,), jnp.int64)
     return out
 
 
 def _pol_mul_aa(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """[..., na] x [..., nb] -> [..., na+nb-1] coefficient product."""
     na, nb = a.shape[-1], b.shape[-1]
-    out = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]) + (na + nb - 1,), jnp.int64)
-    for i in range(na):
-        out = out.at[..., i : i + nb].add(a[..., i : i + 1] * b)
-    return out
+    terms = [a[..., i : i + 1] * b for i in range(na)]
+    bshape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    terms = [jnp.broadcast_to(t, bshape + (nb,)) for t in terms]
+    return _shift_add(terms, [nb] * na, na + nb - 1)
 
 
-@jax.jit
-def mul_full(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def mul_full(a: jnp.ndarray, b: jnp.ndarray, unroll: bool = False) -> jnp.ndarray:
     """[..., 16] x [..., 16] canonical limbs -> [..., 32] canonical limbs."""
-    return carry_prop(_pol_mul_aa(a, b), 2 * N_LIMBS)
+    return carry_prop(_pol_mul_aa(a, b), 2 * N_LIMBS, unroll=unroll)
 
 
 def compare_ge(a: jnp.ndarray, b_const: list) -> jnp.ndarray:
@@ -121,48 +148,49 @@ def compare_ge(a: jnp.ndarray, b_const: list) -> jnp.ndarray:
     return jnp.where(any_nz, val > 0, True)
 
 
-def sub_const_if(a: jnp.ndarray, b_const: list, cond: jnp.ndarray) -> jnp.ndarray:
+def sub_const_if(a: jnp.ndarray, b_const: list, cond: jnp.ndarray,
+                 unroll: bool = False) -> jnp.ndarray:
     """a - const where cond else a; canonical limbs in/out (no underflow)."""
     coeffs = a - jnp.where(
         cond[..., None], _const_row(b_const + [0] * (a.shape[-1] - len(b_const))), 0
     )
-    return carry_prop(coeffs, a.shape[-1])
+    return carry_prop(coeffs, a.shape[-1], unroll=unroll)
 
 
-@jax.jit
-def mod_p(n: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def mod_p(n: jnp.ndarray, unroll: bool = False) -> jnp.ndarray:
     """[..., <=32] canonical limbs (value < 2^512) -> value mod p, 16 limbs."""
-    n32 = carry_prop(n, 32) if n.shape[-1] < 32 else n
+    n32 = carry_prop(n, 32, unroll=unroll) if n.shape[-1] < 32 else n
     # q_hat = floor(n * mu / 2^512): top 17 limbs of the 49-limb product
-    prod = carry_prop(_pol_mul_arrays(n32, MU_LIMBS_INT), 49)
+    prod = carry_prop(_pol_mul_arrays(n32, MU_LIMBS_INT), 49, unroll=unroll)
     q_hat = prod[..., 32:49]
     # r = n - q_hat * p  (fits well under 2^272; compute mod 2^288 = 18 limbs)
     qp = _pol_mul_arrays(q_hat, MOD_LIMBS_INT)  # [..., 32] coeffs
-    r = carry_prop(n32[..., :18] - qp[..., :18], 18)
+    r = carry_prop(n32[..., :18] - qp[..., :18], 18, unroll=unroll)
     # 0 <= r < 2p + p (one safety margin): subtract p up to twice
     for _ in range(2):
         ge = compare_ge(r, MOD_LIMBS_INT)
-        r = sub_const_if(r, MOD_LIMBS_INT, ge)
+        r = sub_const_if(r, MOD_LIMBS_INT, ge, unroll=unroll)
     return r[..., :N_LIMBS]
 
 
-@jax.jit
-def mulmod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def mulmod(a: jnp.ndarray, b: jnp.ndarray, unroll: bool = False) -> jnp.ndarray:
     """(a * b) mod p on [..., 16] canonical limb tensors."""
-    return mod_p(mul_full(a, b))
+    return mod_p(mul_full(a, b, unroll=unroll), unroll=unroll)
 
 
-@jax.jit
-def addmod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def addmod(a: jnp.ndarray, b: jnp.ndarray, unroll: bool = False) -> jnp.ndarray:
     """(a + b) mod p on canonical limb tensors."""
-    return mod_p(carry_prop(a + b, 32))
+    return mod_p(carry_prop(a + b, 32, unroll=unroll), unroll=unroll)
 
 
-@jax.jit
-def submod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def submod(a: jnp.ndarray, b: jnp.ndarray, unroll: bool = False) -> jnp.ndarray:
     """(a - b) mod p on canonical limb tensors."""
     p_row = _const_row(MOD_LIMBS_INT)
-    return mod_p(carry_prop(a - b + p_row, 32))
+    return mod_p(carry_prop(a - b + p_row, 32, unroll=unroll), unroll=unroll)
 
 
 @jax.jit
@@ -192,21 +220,22 @@ def exact_div_p(input_coeffs: jnp.ndarray):
     return is_quot_positive, q_abs[..., :17]
 
 
-@jax.jit
-def inv_mod_p(a: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def inv_mod_p(a: jnp.ndarray, unroll: bool = False) -> jnp.ndarray:
     """Fermat inverse a^(p-2) mod p on [..., 16] limbs (0 -> 0).
 
     lax.scan over the 254 constant exponent bits: one squaring plus one
     conditional multiply per step, batched over all leading axes.
+    `unroll` flattens the limb carries inside each step (see carry_prop).
     """
     bits = jnp.asarray(np.array(_P_BITS, dtype=np.int64))
     one = jnp.zeros_like(a).at[..., 0].set(1)
 
     def step(carry, bit):
         result, base = carry
-        mul = mulmod(result, base)
+        mul = mulmod(result, base, unroll=unroll)
         result = jnp.where(bit == 1, mul, result)
-        base = mulmod(base, base)
+        base = mulmod(base, base, unroll=unroll)
         return (result, base), None
 
     (result, _), _ = jax.lax.scan(step, (one, a), bits)
@@ -215,8 +244,8 @@ def inv_mod_p(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(a_is_zero, 0, result)
 
 
-@jax.jit
-def batch_inv_mod_p(a: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def batch_inv_mod_p(a: jnp.ndarray, unroll: bool = False) -> jnp.ndarray:
     """Montgomery-batched modular inverse over all leading axes.
 
     One Fermat chain for the whole batch plus O(n) multiplications in
@@ -237,15 +266,16 @@ def batch_inv_mod_p(a: jnp.ndarray) -> jnp.ndarray:
     else:
         safe_p = safe
     mat = safe_p.reshape(-1, k, N_LIMBS)
-    incl = jax.lax.associative_scan(mulmod, mat, axis=1)
+    mm = lambda x, y: mulmod(x, y, unroll=unroll)
+    incl = jax.lax.associative_scan(mm, mat, axis=1)
     totals = incl[:, -1]
     # per-row totals inverted with one vectorized Fermat chain
-    totals_inv = inv_mod_p(totals)
+    totals_inv = inv_mod_p(totals, unroll=unroll)
     one_row = jnp.tile(one[:1][None], (mat.shape[0], 1, 1))
     pre = jnp.concatenate([one_row, incl[:, :-1]], axis=1)
-    incl_rev = jax.lax.associative_scan(mulmod, mat[:, ::-1], axis=1)[:, ::-1]
+    incl_rev = jax.lax.associative_scan(mm, mat[:, ::-1], axis=1)[:, ::-1]
     suf = jnp.concatenate([incl_rev[:, 1:], one_row], axis=1)
-    out = mulmod(mulmod(pre, suf), totals_inv[:, None])
+    out = mulmod(mulmod(pre, suf, unroll=unroll), totals_inv[:, None], unroll=unroll)
     out = out.reshape(-1, N_LIMBS)[:m]
     out = jnp.where(is_zero, 0, out)
     return out.reshape(shape)

@@ -31,36 +31,41 @@ IS_EXT_MODULUS_AUX_ZERO_LEN = 2 + 2 * modular.IS_MODULUS_AUX_ZERO_LEN  # 194
 # ---------------------------------------------------------------------------
 
 
-def f2_add(a, b):
-    return (bigint.addmod(a[0], b[0]), bigint.addmod(a[1], b[1]))
+def f2_add(a, b, unroll=False):
+    return (bigint.addmod(a[0], b[0], unroll=unroll),
+            bigint.addmod(a[1], b[1], unroll=unroll))
 
 
-def f2_sub(a, b):
-    return (bigint.submod(a[0], b[0]), bigint.submod(a[1], b[1]))
+def f2_sub(a, b, unroll=False):
+    return (bigint.submod(a[0], b[0], unroll=unroll),
+            bigint.submod(a[1], b[1], unroll=unroll))
 
 
-def f2_mul(a, b):
-    m00 = bigint.mulmod(a[0], b[0])
-    m11 = bigint.mulmod(a[1], b[1])
-    m01 = bigint.mulmod(a[0], b[1])
-    m10 = bigint.mulmod(a[1], b[0])
-    return (bigint.submod(m00, m11), bigint.addmod(m01, m10))
+def f2_mul(a, b, unroll=False):
+    m00 = bigint.mulmod(a[0], b[0], unroll=unroll)
+    m11 = bigint.mulmod(a[1], b[1], unroll=unroll)
+    m01 = bigint.mulmod(a[0], b[1], unroll=unroll)
+    m10 = bigint.mulmod(a[1], b[0], unroll=unroll)
+    return (bigint.submod(m00, m11, unroll=unroll),
+            bigint.addmod(m01, m10, unroll=unroll))
 
 
-def f2_small(k: int, a):
-    out0 = bigint.mod_p(bigint.carry_prop(k * a[0], 32))
-    out1 = bigint.mod_p(bigint.carry_prop(k * a[1], 32))
+def f2_small(k: int, a, unroll=False):
+    out0 = bigint.mod_p(bigint.carry_prop(k * a[0], 32, unroll=unroll), unroll=unroll)
+    out1 = bigint.mod_p(bigint.carry_prop(k * a[1], 32, unroll=unroll), unroll=unroll)
     return (out0, out1)
 
 
-def f2_inv(a):
+def f2_inv(a, unroll=False):
     """(a0 - a1 u) / (a0^2 + a1^2); 0 -> 0 (Fermat convention)."""
-    norm = bigint.addmod(bigint.mulmod(a[0], a[0]), bigint.mulmod(a[1], a[1]))
-    ninv = bigint.batch_inv_mod_p(norm)
+    norm = bigint.addmod(bigint.mulmod(a[0], a[0], unroll=unroll),
+                         bigint.mulmod(a[1], a[1], unroll=unroll),
+                         unroll=unroll)
+    ninv = bigint.batch_inv_mod_p(norm, unroll=unroll)
     zero = jnp.zeros_like(a[1])
     return (
-        bigint.mulmod(a[0], ninv),
-        bigint.mulmod(bigint.submod(zero, a[1]), ninv),
+        bigint.mulmod(a[0], ninv, unroll=unroll),
+        bigint.mulmod(bigint.submod(zero, a[1], unroll=unroll), ninv, unroll=unroll),
     )
 
 
@@ -128,41 +133,44 @@ def eval_is_ext_modulus_zero(consumer, ring, filt, modulus, input_pair, is_zero,
 # ---------------------------------------------------------------------------
 
 
-def jac_double(X, Y, Z):
+def jac_double(X, Y, Z, unroll=False):
     """dbl-2009-l over Fq2 pairs (curve a = 0)."""
-    A = f2_mul(X, X)
-    B = f2_mul(Y, Y)
-    C = f2_mul(B, B)
-    XB = f2_add(X, B)
-    D0 = f2_mul(XB, XB)
-    D = f2_small(2, f2_sub(f2_sub(D0, A), C))
-    E = f2_small(3, A)
-    F = f2_mul(E, E)
-    X3 = f2_sub(F, f2_small(2, D))
-    Y3 = f2_sub(f2_mul(E, f2_sub(D, X3)), f2_small(8, C))
-    Z3 = f2_small(2, f2_mul(Y, Z))
+    u = unroll
+    A = f2_mul(X, X, u)
+    B = f2_mul(Y, Y, u)
+    C = f2_mul(B, B, u)
+    XB = f2_add(X, B, u)
+    D0 = f2_mul(XB, XB, u)
+    D = f2_small(2, f2_sub(f2_sub(D0, A, u), C, u), u)
+    E = f2_small(3, A, u)
+    F = f2_mul(E, E, u)
+    X3 = f2_sub(F, f2_small(2, D, u), u)
+    Y3 = f2_sub(f2_mul(E, f2_sub(D, X3, u), u), f2_small(8, C, u), u)
+    Z3 = f2_small(2, f2_mul(Y, Z, u), u)
     return X3, Y3, Z3
 
 
-def jac_mixed_add(X1, Y1, Z1, x2, y2):
+def jac_mixed_add(X1, Y1, Z1, x2, y2, unroll=False):
     """madd-2007-bl over Fq2 pairs; points distinct, no infinity."""
-    Z1Z1 = f2_mul(Z1, Z1)
-    U2 = f2_mul(x2, Z1Z1)
-    S2 = f2_mul(f2_mul(y2, Z1), Z1Z1)
-    H = f2_sub(U2, X1)
-    HH = f2_mul(H, H)
-    I = f2_small(4, HH)
-    J = f2_mul(H, I)
-    r = f2_small(2, f2_sub(S2, Y1))
-    V = f2_mul(X1, I)
-    X3 = f2_sub(f2_sub(f2_mul(r, r), J), f2_small(2, V))
-    Y3 = f2_sub(f2_mul(r, f2_sub(V, X3)), f2_small(2, f2_mul(Y1, J)))
-    Z3 = f2_sub(f2_sub(f2_mul(f2_add(Z1, H), f2_add(Z1, H)), Z1Z1), HH)
+    u = unroll
+    Z1Z1 = f2_mul(Z1, Z1, u)
+    U2 = f2_mul(x2, Z1Z1, u)
+    S2 = f2_mul(f2_mul(y2, Z1, u), Z1Z1, u)
+    H = f2_sub(U2, X1, u)
+    HH = f2_mul(H, H, u)
+    I = f2_small(4, HH, u)
+    J = f2_mul(H, I, u)
+    r = f2_small(2, f2_sub(S2, Y1, u), u)
+    V = f2_mul(X1, I, u)
+    X3 = f2_sub(f2_sub(f2_mul(r, r, u), J, u), f2_small(2, V, u), u)
+    Y3 = f2_sub(f2_mul(r, f2_sub(V, X3, u), u), f2_small(2, f2_mul(Y1, J, u), u), u)
+    Z3 = f2_sub(f2_sub(f2_mul(f2_add(Z1, H, u), f2_add(Z1, H, u), u), Z1Z1, u), HH, u)
     return X3, Y3, Z3
 
 
-def jac_to_affine(X, Y, Z):
-    z_inv = f2_inv(Z)
-    z2 = f2_mul(z_inv, z_inv)
-    z3 = f2_mul(z2, z_inv)
-    return f2_mul(X, z2), f2_mul(Y, z3)
+def jac_to_affine(X, Y, Z, unroll=False):
+    u = unroll
+    z_inv = f2_inv(Z, u)
+    z2 = f2_mul(z_inv, z_inv, u)
+    z3 = f2_mul(z2, z_inv, u)
+    return f2_mul(X, z2, u), f2_mul(Y, z3, u)

@@ -13,6 +13,8 @@ stage 4).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -50,15 +52,19 @@ FREQ_COL = LAYOUT.col("frequency")
 RANGE_COUNTER_COL = LAYOUT.col("range_counter")
 
 
-@jax.jit
-def generate_trace_core(x_limbs: jnp.ndarray, s_bits: jnp.ndarray, timestamps: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def generate_trace_core(x_limbs: jnp.ndarray, s_bits: jnp.ndarray,
+                        timestamps: jnp.ndarray, unroll=False):
     """Jittable core: [n,16] x limbs, [n,256] scalar bits, [n] timestamps ->
-    [n*512, 427] uint64 trace rows (without range-check columns)."""
+    [n*512, 427] uint64 trace rows (without range-check columns).
+
+    `unroll` partially unrolls the limb-carry scans inside the two chain
+    scans (TPU; see g1_scalar_mul._unroll_for)."""
     n = x_limbs.shape[0]
 
     # square chain sq_k = x^(2^k), k = 0..256  ([257, n, 16])
     def sq_step(cur, _):
-        return bigint.mulmod(cur, cur), cur
+        return bigint.mulmod(cur, cur, unroll=unroll), cur
 
     last_sq, sqs = jax.lax.scan(sq_step, x_limbs, None, length=N_BITS)
     sqs = jnp.concatenate([sqs, last_sq[None]], axis=0)  # [257, n, 16]
@@ -68,7 +74,7 @@ def generate_trace_core(x_limbs: jnp.ndarray, s_bits: jnp.ndarray, timestamps: j
 
     def p_step(cur, inp):
         sq_k, bit_k = inp
-        mul = bigint.mulmod(cur, sq_k)
+        mul = bigint.mulmod(cur, sq_k, unroll=unroll)
         nxt = jnp.where(bit_k[:, None] == 1, mul, cur)
         return nxt, cur
 
@@ -143,10 +149,20 @@ def generate_trace(inputs, min_rows: int = 1 << LIMB_BITS) -> jnp.ndarray:
     n = len(inputs)
     num_rows = max(min_rows, n * FQ_PERIOD)
     num_rows = 1 << (num_rows - 1).bit_length()
-    x_limbs = from_ints([x for _, x, _ in inputs])
-    s_bits = bits_from_ints([s for s, _, _ in inputs])
-    ts = jnp.asarray(np.array([t for _, _, t in inputs], dtype=np.int64))
-    rows = generate_trace_core(x_limbs, s_bits, ts)
+    from .g1_scalar_mul import _unroll_for
+    from .limbs import h_bits_le, h_int_to_limbs
+
+    # ONE bundled host->device transfer (remote-chip round trips dominate)
+    bundle = np.zeros((n, N_LIMBS + N_BITS + 1), dtype=np.int64)
+    for i, (s, x, t) in enumerate(inputs):
+        bundle[i, :N_LIMBS] = h_int_to_limbs(int(x))
+        bundle[i, N_LIMBS : N_LIMBS + N_BITS] = h_bits_le(int(s))
+        bundle[i, -1] = int(t)
+    dev = jnp.asarray(bundle)
+    x_limbs = dev[:, :N_LIMBS]
+    s_bits = dev[:, N_LIMBS : N_LIMBS + N_BITS]
+    ts = dev[:, -1]
+    rows = generate_trace_core(x_limbs, s_bits, ts, unroll=_unroll_for(x_limbs))
     pad = jnp.zeros((num_rows - rows.shape[0], LAYOUT.width), jnp.uint64)
     return add_range_checks(jnp.concatenate([rows, pad], axis=0))
 

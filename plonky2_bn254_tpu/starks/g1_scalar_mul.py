@@ -14,6 +14,8 @@ stage 6 + §2 parallelism note).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,8 +55,8 @@ FREQ_COL = LAYOUT.col("frequency")
 RANGE_COUNTER_COL = LAYOUT.col("range_counter")
 
 
-@jax.jit
-def _chains(x_limbs, y_limbs, ox_limbs, oy_limbs, s_bits):
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def _chains(x_limbs, y_limbs, ox_limbs, oy_limbs, s_bits, unroll=False):
     """Stage 1: Jacobian scans + batched affine normalization.
 
     Kept as its own executable — the remote TPU compiler OOMs on the
@@ -67,7 +69,7 @@ def _chains(x_limbs, y_limbs, ox_limbs, oy_limbs, s_bits):
 
     def d_step(carry, _):
         X, Y, Z = carry
-        return jacobian.double(X, Y, Z), (X, Y, Z)
+        return jacobian.double(X, Y, Z, unroll=unroll), (X, Y, Z)
 
     last_d, d_jac = jax.lax.scan(
         d_step, (x_limbs, y_limbs, one_limb), None, length=N_BITS
@@ -75,13 +77,13 @@ def _chains(x_limbs, y_limbs, ox_limbs, oy_limbs, s_bits):
     dX = jnp.concatenate([d_jac[0], last_d[0][None]], axis=0)  # [257, n, 16]
     dY = jnp.concatenate([d_jac[1], last_d[1][None]], axis=0)
     dZ = jnp.concatenate([d_jac[2], last_d[2][None]], axis=0)
-    d_ax, d_ay = jacobian.to_affine(dX, dY, dZ)  # affine doubles [257, n, 16]
+    d_ax, d_ay = jacobian.to_affine(dX, dY, dZ, unroll=unroll)  # affine doubles [257, n, 16]
 
     # running sums p_k = offset + sum_{i<=k, bit_i} d_i (Jacobian mixed adds)
     def p_step(carry, inp):
         X, Y, Z = carry
         dx_k, dy_k, bit_k = inp
-        Xa, Ya, Za = jacobian.mixed_add(X, Y, Z, dx_k, dy_k)
+        Xa, Ya, Za = jacobian.mixed_add(X, Y, Z, dx_k, dy_k, unroll=unroll)
         sel = (bit_k == 1)[:, None]
         X2 = jnp.where(sel, Xa, X)
         Y2 = jnp.where(sel, Ya, Y)
@@ -96,9 +98,9 @@ def _chains(x_limbs, y_limbs, ox_limbs, oy_limbs, s_bits):
     pX = jnp.concatenate([p_prev_jac[0][1:], lastX[None]], axis=0)  # p_k
     pY = jnp.concatenate([p_prev_jac[1][1:], lastY[None]], axis=0)
     pZ = jnp.concatenate([p_prev_jac[2][1:], lastZ[None]], axis=0)
-    p_ax, p_ay = jacobian.to_affine(pX, pY, pZ)  # p_k affine [256, n, 16]
+    p_ax, p_ay = jacobian.to_affine(pX, pY, pZ, unroll=unroll)  # p_k affine [256, n, 16]
     pp_ax, pp_ay = jacobian.to_affine(  # p_{k-1} affine
-        p_prev_jac[0], p_prev_jac[1], p_prev_jac[2]
+        p_prev_jac[0], p_prev_jac[1], p_prev_jac[2], unroll=unroll
     )
     return d_ax, d_ay, p_ax, p_ay, pp_ax, pp_ay
 
@@ -164,10 +166,23 @@ def _assemble(d_ax, d_ay, p_ax, p_ay, pp_ax, pp_ay,
     return per_op.astype(jnp.uint64)
 
 
+def _unroll_for(arr):
+    """Partially-unrolled limb carries on the real chip (factor 8: the
+    nested-scan per-iteration overhead dominates the chain scans, but a
+    FULL unroll makes the remote TPU compiler crawl), plain scans on XLA
+    CPU; identical integer math either way, so traces are bit-identical
+    across the lowerings."""
+    try:
+        return 8 if all(d.platform == "tpu" for d in arr.devices()) else False
+    except Exception:
+        return False
+
+
 def generate_trace_core(x_limbs, y_limbs, ox_limbs, oy_limbs, s_bits, timestamps):
     """[n,16] x/y/offset limbs, [n,256] bits, [n] ts -> [n*512, 781] u64."""
     d_ax, d_ay, p_ax, p_ay, pp_ax, pp_ay = _chains(
-        x_limbs, y_limbs, ox_limbs, oy_limbs, s_bits
+        x_limbs, y_limbs, ox_limbs, oy_limbs, s_bits,
+        unroll=_unroll_for(x_limbs),
     )
     add_cx, add_cy, add_aux = g1_add.generate_g1_add(
         pp_ax, pp_ay, d_ax[:N_BITS], d_ay[:N_BITS]
@@ -198,15 +213,29 @@ def add_range_checks(rows: jnp.ndarray) -> jnp.ndarray:
 def generate_trace(inputs, min_rows: int = 1 << LIMB_BITS) -> jnp.ndarray:
     """inputs: list of (s, (x, y), (ox, oy), timestamp) python ints ->
     [num_rows, 781] uint64."""
+    from .limbs import h_bits_le, h_int_to_limbs
+
     n = len(inputs)
     num_rows = max(min_rows, n * G1_PERIOD)
     num_rows = 1 << (num_rows - 1).bit_length()
-    xs = from_ints([p[0] for _, p, _, _ in inputs])
-    ys = from_ints([p[1] for _, p, _, _ in inputs])
-    oxs = from_ints([o[0] for _, _, o, _ in inputs])
-    oys = from_ints([o[1] for _, _, o, _ in inputs])
-    s_bits = bits_from_ints([s for s, _, _, _ in inputs])
-    ts = jnp.asarray(np.array([t for _, _, _, t in inputs], dtype=np.int64))
+    # ONE bundled host->device transfer: on the tunnelled remote chip each
+    # transfer costs a full round trip, and six small per-proof transfers
+    # used to dominate trace-generation wall clock.
+    bundle = np.zeros((n, 4 * N_LIMBS + N_BITS + 1), dtype=np.int64)
+    for i, (s, p, o, t) in enumerate(inputs):
+        bundle[i, : N_LIMBS] = h_int_to_limbs(int(p[0]))
+        bundle[i, N_LIMBS : 2 * N_LIMBS] = h_int_to_limbs(int(p[1]))
+        bundle[i, 2 * N_LIMBS : 3 * N_LIMBS] = h_int_to_limbs(int(o[0]))
+        bundle[i, 3 * N_LIMBS : 4 * N_LIMBS] = h_int_to_limbs(int(o[1]))
+        bundle[i, 4 * N_LIMBS : 4 * N_LIMBS + N_BITS] = h_bits_le(int(s))
+        bundle[i, -1] = int(t)
+    dev = jnp.asarray(bundle)
+    xs = dev[:, :N_LIMBS]
+    ys = dev[:, N_LIMBS : 2 * N_LIMBS]
+    oxs = dev[:, 2 * N_LIMBS : 3 * N_LIMBS]
+    oys = dev[:, 3 * N_LIMBS : 4 * N_LIMBS]
+    s_bits = dev[:, 4 * N_LIMBS : 4 * N_LIMBS + N_BITS]
+    ts = dev[:, -1]
     rows = generate_trace_core(xs, ys, oxs, oys, s_bits, ts)
     pad = jnp.zeros((num_rows - rows.shape[0], LAYOUT.width), jnp.uint64)
     return add_range_checks(jnp.concatenate([rows, pad], axis=0))

@@ -8,6 +8,8 @@ are whitespace-identical clones of G1 after type substitution).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -72,9 +74,13 @@ def _aux_cols(aux: g2_add.G2AddAux):
     )
 
 
-@jax.jit
-def generate_trace_core(x_pair, y_pair, ox_pair, oy_pair, s_bits, timestamps):
-    """Fq2 pairs of [n,16] limbs + [n,256] bits + [n] ts -> [n*512, 1295]."""
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def generate_trace_core(x_pair, y_pair, ox_pair, oy_pair, s_bits, timestamps,
+                        unroll=False):
+    """Fq2 pairs of [n,16] limbs + [n,256] bits + [n] ts -> [n*512, 1295].
+
+    `unroll` partially unrolls the limb-carry scans inside the chain scans
+    (TPU; see g1_scalar_mul._unroll_for)."""
     n = s_bits.shape[0]
     one_limb = jnp.zeros_like(x_pair[0]).at[..., 0].set(1)
     zero_limb = jnp.zeros_like(x_pair[0])
@@ -82,7 +88,7 @@ def generate_trace_core(x_pair, y_pair, ox_pair, oy_pair, s_bits, timestamps):
 
     def d_step(carry, _):
         X, Y, Z = carry
-        return fq2_alg.jac_double(X, Y, Z), (X, Y, Z)
+        return fq2_alg.jac_double(X, Y, Z, unroll=unroll), (X, Y, Z)
 
     last_d, d_jac = jax.lax.scan(
         d_step, (x_pair, y_pair, one_f2), None, length=N_BITS
@@ -94,12 +100,12 @@ def generate_trace_core(x_pair, y_pair, ox_pair, oy_pair, s_bits, timestamps):
         )
 
     dX, dY, dZ = cat(d_jac, last_d)  # pairs of [257, n, 16]
-    d_ax, d_ay = fq2_alg.jac_to_affine(dX, dY, dZ)
+    d_ax, d_ay = fq2_alg.jac_to_affine(dX, dY, dZ, unroll=unroll)
 
     def p_step(carry, inp):
         X, Y, Z = carry
         dx0, dx1, dy0, dy1, bit_k = inp
-        Xa, Ya, Za = fq2_alg.jac_mixed_add(X, Y, Z, (dx0, dx1), (dy0, dy1))
+        Xa, Ya, Za = fq2_alg.jac_mixed_add(X, Y, Z, (dx0, dx1), (dy0, dy1), unroll=unroll)
         sel = (bit_k == 1)[:, None]
         pick = lambda a, b: (
             jnp.where(sel, a[0], b[0]),
@@ -119,8 +125,8 @@ def generate_trace_core(x_pair, y_pair, ox_pair, oy_pair, s_bits, timestamps):
         ),
     )
     pX, pY, pZ = cat(jax.tree.map(lambda s: s[1:], p_prev_jac), lastP)  # p_k
-    p_ax, p_ay = fq2_alg.jac_to_affine(pX, pY, pZ)
-    pp_ax, pp_ay = fq2_alg.jac_to_affine(*p_prev_jac)
+    p_ax, p_ay = fq2_alg.jac_to_affine(pX, pY, pZ, unroll=unroll)
+    pp_ax, pp_ay = fq2_alg.jac_to_affine(*p_prev_jac, unroll=unroll)
 
     d_axN = jax.tree.map(lambda s: s[:N_BITS], d_ax)
     d_ayN = jax.tree.map(lambda s: s[:N_BITS], d_ay)
@@ -193,19 +199,27 @@ def generate_trace(inputs, min_rows: int = 1 << LIMB_BITS) -> jnp.ndarray:
     n = len(inputs)
     num_rows = max(min_rows, n * G2_PERIOD)
     num_rows = 1 << (num_rows - 1).bit_length()
-    x0 = from_ints([p[0][0] for _, p, _, _ in inputs])
-    x1 = from_ints([p[0][1] for _, p, _, _ in inputs])
-    y0 = from_ints([p[1][0] for _, p, _, _ in inputs])
-    y1 = from_ints([p[1][1] for _, p, _, _ in inputs])
-    ox0 = from_ints([o[0][0] for _, _, o, _ in inputs])
-    ox1 = from_ints([o[0][1] for _, _, o, _ in inputs])
-    oy0 = from_ints([o[1][0] for _, _, o, _ in inputs])
-    oy1 = from_ints([o[1][1] for _, _, o, _ in inputs])
-    s_bits = bits_from_ints([s for s, _, _, _ in inputs])
-    ts = jnp.asarray(np.array([t for _, _, _, t in inputs], dtype=np.int64))
+    from .g1_scalar_mul import _unroll_for
+    from .limbs import h_bits_le, h_int_to_limbs
+
+    # ONE bundled host->device transfer (remote-chip round trips dominate)
+    bundle = np.zeros((n, 8 * N_LIMBS + N_BITS + 1), dtype=np.int64)
+    for i, (sc, p, o, t) in enumerate(inputs):
+        vals = [p[0][0], p[0][1], p[1][0], p[1][1],
+                o[0][0], o[0][1], o[1][0], o[1][1]]
+        for j, v in enumerate(vals):
+            bundle[i, j * N_LIMBS : (j + 1) * N_LIMBS] = h_int_to_limbs(int(v))
+        bundle[i, 8 * N_LIMBS : 8 * N_LIMBS + N_BITS] = h_bits_le(int(sc))
+        bundle[i, -1] = int(t)
+    dev = jnp.asarray(bundle)
+    sl = lambda j: dev[:, j * N_LIMBS : (j + 1) * N_LIMBS]
+    x0, x1, y0, y1, ox0, ox1, oy0, oy1 = (sl(j) for j in range(8))
+    s_bits = dev[:, 8 * N_LIMBS : 8 * N_LIMBS + N_BITS]
+    ts = dev[:, -1]
     with _cache_off():
         rows = generate_trace_core(
-            (x0, x1), (y0, y1), (ox0, ox1), (oy0, oy1), s_bits, ts
+            (x0, x1), (y0, y1), (ox0, ox1), (oy0, oy1), s_bits, ts,
+            unroll=_unroll_for(s_bits),
         )
     pad = jnp.zeros((num_rows - rows.shape[0], LAYOUT.width), jnp.uint64)
     return add_range_checks(jnp.concatenate([rows, pad], axis=0))
