@@ -207,6 +207,25 @@ def batch_inv(x):
 
 _BINV_CHUNK = 1024
 
+# XLA CPU's compiler goes pathologically slow (tens of minutes) on the
+# log-depth associative_scan graphs at some shapes; tests and the CPU-mesh
+# dryrun flip this to a sequential lax.scan prefix product instead.  The
+# VALUES are identical either way (exact integer products), so proofs are
+# bit-identical across the two lowerings.
+CPU_FRIENDLY_SCANS = False
+
+
+def _prefix_products(mat: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix products along axis 1 of [rows, k]."""
+    if CPU_FRIENDLY_SCANS:
+        def step(carry, x):
+            nc = mul(carry, x)
+            return nc, nc
+
+        _, incl = jax.lax.scan(step, jnp.ones_like(mat[:, 0]), mat.T)
+        return jnp.moveaxis(incl, 0, 1)
+    return jax.lax.associative_scan(mul, mat, axis=1)
+
 
 def _batch_inv_flat(safe: jnp.ndarray) -> jnp.ndarray:
     m = safe.shape[0]
@@ -217,10 +236,10 @@ def _batch_inv_flat(safe: jnp.ndarray) -> jnp.ndarray:
     if pad:
         safe = jnp.concatenate([safe, jnp.ones(pad, _U64)])
     mat = safe.reshape(-1, k)
-    incl = jax.lax.associative_scan(mul, mat, axis=1)
+    incl = _prefix_products(mat)
     totals_inv = _batch_inv_flat(incl[:, -1])
     pre = jnp.concatenate([jnp.ones_like(mat[:, :1]), incl[:, :-1]], axis=1)
-    incl_rev = jax.lax.associative_scan(mul, mat[:, ::-1], axis=1)[:, ::-1]
+    incl_rev = _prefix_products(mat[:, ::-1])[:, ::-1]
     suf = jnp.concatenate([incl_rev[:, 1:], jnp.ones_like(mat[:, :1])], axis=1)
     out = mul(mul(pre, suf), totals_inv[:, None])
     return out.reshape(-1)[: m]

@@ -144,6 +144,30 @@ def _domain_arrays(n_log: int, rate_bits: int):
 # ---------------------------------------------------------------------------
 
 
+def _intt_maybe_pallas(values, use_pallas: bool):
+    from ..field import ntt_pallas
+
+    if use_pallas and ntt_pallas.supports(values.shape):
+        return ntt_pallas.intt(values)
+    return ntt.intt(values)
+
+
+@functools.lru_cache(maxsize=None)
+def _coset_premul(n: int, shift: int):
+    return ntt._coset_powers(n, shift)
+
+
+def _lde_maybe_pallas(coeffs, rate_bits: int, use_pallas: bool):
+    from ..field import ntt_pallas
+
+    n = coeffs.shape[-1]
+    big_shape = coeffs.shape[:-1] + (n << rate_bits,)
+    if use_pallas and rate_bits == 1 and ntt_pallas.supports(big_shape):
+        # coset premultiply + zero pad fused into the stage-A kernel
+        return ntt_pallas.coset_lde_rate1(coeffs)
+    return ntt.coset_lde_from_coeffs(coeffs, rate_bits)
+
+
 def _make_commit(rate_bits: int, cap_height: int, use_pallas: bool = False):
     # NOT fused into one jit: XLA's algebraic simplifier loops pathologically
     # on the large fused graph; the component kernels (intt / coset_lde /
@@ -154,9 +178,9 @@ def _make_commit(rate_bits: int, cap_height: int, use_pallas: bool = False):
         ) else (lambda x: x)
         tt = timing_mod.get(tt)
         with tt.scope("intt"):
-            coeffs = sync(ntt.intt(values))
+            coeffs = sync(_intt_maybe_pallas(values, use_pallas))
         with tt.scope("lde"):
-            lde = sync(ntt.coset_lde_from_coeffs(coeffs, rate_bits))
+            lde = sync(_lde_maybe_pallas(coeffs, rate_bits, use_pallas))
         n_big = lde.shape[-1]
         perm = jnp.asarray(bit_rev_perm(n_big.bit_length() - 1))
         with tt.scope("merkle"):
@@ -179,7 +203,7 @@ def _gather_t_rows(lde, idx):
 
 def _make_commit_coeffs(rate_bits: int, cap_height: int, use_pallas: bool = False):
     def commit(coeffs):
-        lde = ntt.coset_lde_from_coeffs(coeffs, rate_bits)
+        lde = _lde_maybe_pallas(coeffs, rate_bits, use_pallas)
         n_big = lde.shape[-1]
         perm = jnp.asarray(bit_rev_perm(n_big.bit_length() - 1))
         leaves = _gather_t(lde, perm)

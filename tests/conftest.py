@@ -20,6 +20,13 @@ import jax  # noqa: E402
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
 
+# XLA CPU chokes compiling the associative_scan batch-inverse graphs
+# (tens of minutes for one executable); tests use the sequential-scan
+# implementation, which produces bit-identical values.
+from plonky2_bn254_tpu.field import goldilocks as _gl  # noqa: E402
+
+_gl.CPU_FRIENDLY_SCANS = True
+
 
 def cpu_devices():
     return jax.local_devices(backend="cpu")
