@@ -24,6 +24,17 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp", devices=None) -
     return Mesh(np.array(devices), (axis,))
 
 
+def make_mesh2d(shape, axes=("tp", "dp"), devices=None) -> Mesh:
+    """2-D mesh (e.g. (2, 4) = tp x dp): the outer axis models the
+    DCN/multi-host dimension, the inner axis ICI within a slice.  The
+    prover shards polynomial columns over the outer axis and evaluation
+    rows over the inner one (prove(col_axis=...))."""
+    if devices is None:
+        devices = jax.devices()
+    n = int(np.prod(shape))
+    return Mesh(np.array(devices[:n]).reshape(shape), axes)
+
+
 def shard_rows(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     """Shard the leading axis across the mesh."""
     return NamedSharding(mesh, P(axis))

@@ -634,6 +634,7 @@ def prove(
     timing: "timing_mod.TimingTree" = None,
     mesh=None,
     mesh_axis: str = "tp",
+    col_axis: str = None,
 ) -> Proof:
     """When `mesh` is given, the evaluation-point (row) axis of the
     polynomial batch is sharded over it and every jitted stage runs SPMD —
@@ -656,8 +657,16 @@ def prove(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        # rows (evaluation points) over mesh_axis; with a 2-D mesh the
+        # polynomial/column axis additionally shards over col_axis (the
+        # DCN/multi-host analog — columns are independent through
+        # iNTT/LDE, so the outer axis needs no collectives until the
+        # Merkle leaves regroup rows)
+        ca = col_axis
+        if ca is not None and w % mesh.shape[ca] != 0:
+            ca = None  # replicate columns when the width doesn't divide
         trace_cols = jax.device_put(
-            trace_cols, NamedSharding(mesh, P(None, mesh_axis))
+            trace_cols, NamedSharding(mesh, P(ca, mesh_axis))
         )
 
     # pallas leaf hashing: single real TPU only (the CPU test mesh and the

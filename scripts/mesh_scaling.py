@@ -25,9 +25,24 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+import pathlib
+
+_cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache_cpu"
+_cache.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 import numpy as np
 
 sys.path.insert(0, ".")
+
+# run all computation on the forced-host CPU devices with the
+# compile-friendly sequential scans (see tests/conftest.py)
+jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
+from plonky2_bn254_tpu.field import goldilocks as _gl  # noqa: E402
+
+_gl.CPU_FRIENDLY_SCANS = True
 
 from plonky2_bn254_tpu.bn254 import oracle
 from plonky2_bn254_tpu.parallel import mesh as mesh_mod

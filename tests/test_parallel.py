@@ -58,6 +58,20 @@ def test_mesh_prove_matches_single_device():
     for a, b in zip(flat(single), flat(sharded)):
         np.testing.assert_array_equal(a, b)
 
+    # 2-D mesh (tp x dp): the evaluation-row axis sharded over BOTH axes
+    # (outer = DCN/multi-host analog, inner = ICI) — the NTT butterflies
+    # and Merkle-top gathers cross the hierarchy; still bit-identical
+    m2 = mesh_mod.make_mesh2d(
+        (2, 4), devices=jax.local_devices(backend="cpu")
+    )
+    sharded2 = prove_mod.prove(
+        stark, trace, ctl_values, TEST_CONFIG,
+        mesh=m2, mesh_axis=("tp", "dp"),
+    )
+    verify_mod.verify(stark, sharded2, ctl_values, TEST_CONFIG)
+    for a, b in zip(flat(single), flat(sharded2)):
+        np.testing.assert_array_equal(a, b)
+
     # 2-axis mesh (multi-host analog): rows sharded over dp (DCN-like,
     # outer) x tp (ICI-like, inner).  GSPMD propagates the 2-D sharding
     # through every stage; the proof stays bit-identical.
