@@ -448,6 +448,81 @@ def supports(n: int) -> bool:
     return n >= TILE and n % TILE == 0
 
 
+# ---------------------------------------------------------------------------
+# raw-permutation kernel (PoW grind and other full-state uses)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _permute_states_fn(n: int):
+    """[N, 12] u64 states -> [N, 12] permuted states (pallas, jitted)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert n % TILE == 0 and n >= TILE
+    G = n // TILE
+
+    def kernel(rc_lo_ref, rc_hi_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+        def rc_read(r, e):
+            return rc_lo_ref[r, e], rc_hi_ref[r, e]
+
+        los = [lo_ref[0, e] for e in range(WIDTH)]
+        his = [hi_ref[0, e] for e in range(WIDTH)]
+        los, his = _permute_pairs_loops(los, his, rc_read)
+        for e in range(WIDTH):
+            out_lo_ref[0, e] = los[e]
+            out_hi_ref[0, e] = his[e]
+
+    @jax.jit
+    def permute_states(states):
+        lo = (states & jnp.uint64(0xFFFFFFFF)).astype(_U32)
+        hi = (states >> jnp.uint64(32)).astype(_U32)
+
+        def regroup(x):  # [N, 12] -> [G, 12, SUB, LANES]
+            return x.reshape(G, SUB, LANES, WIDTH).transpose(0, 3, 1, 2)
+
+        lo = regroup(lo)
+        hi = regroup(hi)
+        z = np.int32(0)
+        blk = (1, WIDTH, SUB, LANES)
+        d_lo, d_hi = pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((N_ROUNDS, WIDTH), lambda g: (z, z),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((N_ROUNDS, WIDTH), lambda g: (z, z),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(blk, lambda g: (g, z, z, z)),
+                pl.BlockSpec(blk, lambda g: (g, z, z, z)),
+            ],
+            out_specs=(
+                pl.BlockSpec(blk, lambda g: (g, z, z, z)),
+                pl.BlockSpec(blk, lambda g: (g, z, z, z)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((G, WIDTH, SUB, LANES), _U32),
+                jax.ShapeDtypeStruct((G, WIDTH, SUB, LANES), _U32),
+            ),
+        )(jnp.asarray(_RC_LO), jnp.asarray(_RC_HI), lo, hi)
+
+        def degroup(x):  # [G, 12, SUB, LANES] -> [N, 12]
+            return x.transpose(0, 2, 3, 1).reshape(n, WIDTH)
+
+        d_lo = degroup(d_lo)
+        d_hi = degroup(d_hi)
+        return d_lo.astype(jnp.uint64) | (d_hi.astype(jnp.uint64) << jnp.uint64(32))
+
+    return permute_states
+
+
+def permute_states(states: jnp.ndarray) -> jnp.ndarray:
+    """[N, 12] u64 -> [N, 12] Poseidon-permuted (pallas kernel)."""
+    n, w = states.shape
+    assert w == WIDTH
+    return _permute_states_fn(n)(states)
+
+
 def hash_leaves(leaves: jnp.ndarray) -> jnp.ndarray:
     """[N, W] u64 -> [N, 4] digests via the pallas sponge kernel."""
     n, width = leaves.shape

@@ -160,7 +160,7 @@ def _ext_leaves(values: Ext, m_log: int, a_bits: int) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _pow_grind_fn(pow_bits: int, batch: int):
+def _pow_grind_fn(pow_bits: int, batch: int, use_pallas: bool = False):
     from ..field import poseidon
 
     @jax.jit
@@ -168,7 +168,12 @@ def _pow_grind_fn(pow_bits: int, batch: int):
         nonces = start + jnp.arange(batch, dtype=jnp.uint64)
         states = jnp.broadcast_to(state, (batch, poseidon.WIDTH))
         states = states.at[:, 0].set(nonces)
-        out = poseidon.permute(states)
+        if use_pallas:
+            from ..field import poseidon_pallas
+
+            out = poseidon_pallas.permute_states(states)
+        else:
+            out = poseidon.permute(states)
         ok = out[:, 7] >> jnp.uint64(64 - pow_bits) == 0
         hit = jnp.argmax(ok)  # first True (0 if none)
         return jnp.any(ok), nonces[hit]
@@ -176,13 +181,13 @@ def _pow_grind_fn(pow_bits: int, batch: int):
     return grind
 
 
-def pow_grind(challenger, pow_bits: int) -> int:
+def pow_grind(challenger, pow_bits: int, use_pallas: bool = False) -> int:
     """Find nonce whose challenge has pow_bits leading zero bits: one
     device dispatch hashing 2^(pow_bits+4) candidates, two scalars back
     (round-2's host loop shipped 25 MB state batches through the tunnel)."""
     state = jnp.asarray(np.array(challenger.state, dtype=np.uint64))
     batch = 1 << max(pow_bits + 4, 12)
-    grind = _pow_grind_fn(pow_bits, batch)
+    grind = _pow_grind_fn(pow_bits, batch, use_pallas)
     start = 0
     while True:
         found, nonce = grind(state, jnp.uint64(start))
@@ -276,7 +281,7 @@ def prove_fri(values: Ext, n_log: int, config: StarkConfig, challenger,
         challenger.observe_extension(fc)
 
     with tt.scope("fri pow"):
-        nonce = pow_grind(challenger, config.proof_of_work_bits)
+        nonce = pow_grind(challenger, config.proof_of_work_bits, use_pallas)
     challenger.observe_element(nonce % gl.P)
     assert (challenger.get_challenge() >> (64 - config.proof_of_work_bits)) == 0
 
