@@ -865,8 +865,12 @@ def build_outer_trace(data: OuterData, values: Dict[int, int]):
                     acc = t if acc is None else np_gl.add(acc, t)
                 nxt[:, e] = acc
             state = nxt
-        out_vals = W[data.pos_out]
-        assert (state == out_vals).all(), "poseidon op output mismatch"
+        # NOTE: no hard assert against W[data.pos_out] here — for an
+        # ADVERSARIAL witness (the tamper tests corrupt wires feeding the
+        # challenger transcript) the recomputed region legitimately
+        # disagrees with the witnessed outputs; the binding rows then make
+        # the keyed witness lookup unsatisfiable and verification rejects
+        # the proof, which is the intended failure path.
 
     # witness table + frequencies
     trace[lay.wit_val] = W

@@ -456,11 +456,17 @@ def intt(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
 
 
 def supports(shape) -> bool:
-    """Kernel eligibility: [w, n] with n a power of two >= 2^10."""
+    """Kernel eligibility: [w, n] with n a power of two in [2^14, 2^20]
+    (below: the stage lanes drop under the 128-lane tile; above: the
+    stage-A tile at M = 2^11 overflows the 64 MB scoped-vmem budget)."""
     if len(shape) != 2:
         return False
     w, n = shape
     if n & (n - 1) or n < (1 << 10):
         return False
     n1_log, n2_log = _dft_shape(n.bit_length() - 1)
-    return (1 << n1_log) % 128 == 0 and (1 << n2_log) % 128 == 0
+    return (
+        (1 << n1_log) % 128 == 0
+        and (1 << n2_log) % 128 == 0
+        and n2_log <= 10
+    )

@@ -63,6 +63,23 @@ def main():
     print(f"generators:         {len(b.generators):>10,}")
     print(f"poseidon ops:       {len(b.poseidon_ops):>10,}")
 
+    # outer-prover compilation of the production circuit (VERDICT r2
+    # weak #5: the outer prover's compile/trace-build cost on a
+    # recursion-scale circuit): set MEASURE_COMPILE_OUTER=1
+    import os
+
+    if os.environ.get("MEASURE_COMPILE_OUTER"):
+        from plonky2_bn254_tpu.circuit import outer
+
+        t0 = time.time()
+        data = outer.compile_outer(circuit)
+        compile_s = time.time() - t0
+        print(f"compile_outer:      {compile_s:8.2f}s  python, single thread")
+        print(f"outer gate rows:    {data.n_gate_rows:>10,}")
+        print(f"outer poseidon rows:{data.n_pos * 31:>10,}  ({data.n_pos} permutations)")
+        print(f"outer trace rows:   {1 << data.n_log:>10,}  (2^{data.n_log})")
+        print(f"outer wires:        {data.n_wires:>10,}")
+
 
 if __name__ == "__main__":
     main()

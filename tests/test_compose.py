@@ -133,7 +133,9 @@ def test_compose_fq_exp_one_artifact():
     # u16 resplit wires of the forged limb: lo = forged & 0xffff, hi >> 16.
     # They are the two wires constrained by `lo + 2^16*hi - limb == 0`;
     # locate them through that ad-hoc/templated row.
-    lo_i, hi_i = _find_resplit(circuit.builder, limb_t.index)
+    lo_i, hi_i, aliases = _find_resplit(circuit.builder, limb_t.index)
+    for a in aliases:  # forge the whole copy-constraint class consistently
+        bad_b[a] = forged
     bad_b[lo_i] = forged & 0xFFFF
     bad_b[hi_i] = forged >> 16
     bad_b.update(honest_proof_vals)
@@ -143,7 +145,30 @@ def test_compose_fq_exp_one_artifact():
 
 
 def _find_resplit(builder, limb_index):
-    """Find (lo, hi) wires of the ToU16 resplit row `lo + 2^16*hi == limb`."""
+    """Find (lo, hi) wires of the ToU16 resplit row `lo + 2^16*hi == limb`.
+
+    The recorded output limb is copy-connected to the StarkProofGenerator's
+    own output wire (`hook.constrain` connects them), and the resplit row
+    references the generator-side alias — so first collect the whole
+    copy-constraint class of `limb_index`, then match the row against any
+    member.  Returns (lo, hi, alias_class)."""
+    aliases = {limb_index}
+    changed = True
+    while changed:
+        changed = False
+        for c in builder.constraints:
+            mono = getattr(c, "monomials", None)
+            if not mono or len(mono) != 2:
+                continue
+            (c1, s1), (c2, s2) = mono
+            if len(s1) != 1 or len(s2) != 1:
+                continue
+            if sorted((c1, c2)) != [1, gl.P - 1]:
+                continue
+            a, b = s1[0], s2[0]
+            if (a in aliases) != (b in aliases):
+                aliases.update((a, b))
+                changed = True
     for tid, row in zip(builder.tpl_tids, builder.tpl_rows):
         tpl = builder.templates[tid]
         mono = tpl.monomials
@@ -154,6 +179,6 @@ def _find_resplit(builder, limb_index):
         if coeffs != [1, 1 << 16, gl.P - 1]:
             continue
         slot_by_coeff = {c: s[0] for c, s in mono}
-        if row[slot_by_coeff[gl.P - 1]] == limb_index:
-            return row[slot_by_coeff[1]], row[slot_by_coeff[1 << 16]]
+        if row[slot_by_coeff[gl.P - 1]] in aliases:
+            return row[slot_by_coeff[1]], row[slot_by_coeff[1 << 16]], aliases
     raise AssertionError("resplit row not found")

@@ -43,3 +43,5 @@ def test_supports():
     assert ntt_pallas.supports((781, 1 << 17))
     assert not ntt_pallas.supports((781, 1 << 10))  # N1 < 128 lanes
     assert not ntt_pallas.supports((781, 100))  # not a power of two
+    assert ntt_pallas.supports((90, 1 << 20))
+    assert not ntt_pallas.supports((90, 1 << 21))  # M = 2^11 > vmem budget
