@@ -10,13 +10,17 @@ prove) after one warmup iteration.  vs_baseline is against the driver
 target of 100 proofs/s (BASELINE.json, v5p-8 target vs this single chip).
 
 Env knobs: BENCH_OPS (ops per proof), BENCH_FAST=1 (tiny run: toy-stark
-pipeline only, for smoke tests).
+pipeline only, for smoke tests), BENCH_DEADLINE_S (watchdog: print the
+best measurement obtained so far and exit before an external `timeout`
+would kill the process with nothing on stdout — the round-3 driver run
+died mid-cold-compile with rc 124 and no JSON line).
 """
 
 import json
 import os
 import pathlib
 import sys
+import threading
 import time
 
 import jax
@@ -30,8 +34,49 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 import numpy as np
 
+# Shared state the watchdog reads.  The watchdog runs on a side thread so
+# it fires even while the main thread is blocked inside one long XLA
+# compile/execute call (where a SIGALRM handler would starve).
+_BEST = {"json": None, "phase": "startup", "t0": time.time()}
+
+
+def _emit(obj) -> None:
+    sys.stdout.write(json.dumps(obj) + "\n")
+    sys.stdout.flush()
+
+
+def _watchdog(deadline_s: float) -> None:
+    remaining = _BEST["t0"] + deadline_s - time.time()
+    if remaining > 0:
+        time.sleep(remaining)
+    if _BEST["json"] is not None:
+        _BEST["json"]["note"] = (
+            f"watchdog: deadline {deadline_s:.0f}s hit during phase "
+            f"'{_BEST['phase']}'; value is the best measurement completed "
+            "so far (warmup wall includes cold XLA compile)"
+        )
+        _emit(_BEST["json"])
+        os._exit(0 if _BEST["json"].get("verified") else 3)
+    else:
+        _emit(
+            {
+                "metric": "g1_scalar_mul_proofs_per_s",
+                "value": 0.0,
+                "unit": "proofs/s",
+                "vs_baseline": 0.0,
+                "note": (
+                    f"watchdog: cold start exceeded the {deadline_s:.0f}s "
+                    f"deadline in phase '{_BEST['phase']}' before any proof "
+                    "completed; rerun with a warm .jax_cache to measure"
+                ),
+            }
+        )
+    os._exit(3)
+
 
 def main():
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "1650"))
+    threading.Thread(target=_watchdog, args=(deadline,), daemon=True).start()
     import plonky2_bn254_tpu  # noqa: F401
     from plonky2_bn254_tpu.bn254 import oracle
     from plonky2_bn254_tpu.prover import prove as prove_mod
@@ -62,15 +107,26 @@ def main():
         return prove_mod.prove(stark, trace, ctl_values, DEFAULT_CONFIG, timing=tt)
 
     # warmup (compilation; cached persistently across runs)
+    _BEST["phase"] = "warmup prove (cold XLA compile)"
     t0 = time.time()
     proof = one_proof()
     warm = time.time() - t0
     print(f"# warmup prove: {warm:.1f}s", file=sys.stderr)
+    _BEST["json"] = {
+        "metric": "g1_scalar_mul_proofs_per_s",
+        "value": round(n_ops / warm, 3),
+        "unit": "proofs/s",
+        "vs_baseline": round(n_ops / warm / 100.0, 4),
+        "verified": False,
+    }
 
     # correctness gate: the proof must verify
+    _BEST["phase"] = "verify"
     verify_mod.verify(stark, proof, ctl_values, DEFAULT_CONFIG)
     print("# proof verified", file=sys.stderr)
+    _BEST["json"]["verified"] = True
 
+    _BEST["phase"] = "steady-state prove"
     tt = TimingTree(enabled=True)
     t0 = time.time()
     one_proof(tt)
@@ -83,17 +139,17 @@ def main():
     stages = {}
     for _, name, secs in tt.records:
         stages[name] = round(stages.get(name, 0.0) + secs, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "g1_scalar_mul_proofs_per_s",
-                "value": round(value, 3),
-                "unit": "proofs/s",
-                "vs_baseline": round(value / 100.0, 4),
-                "stages_s": stages,
-            }
-        )
+    _emit(
+        {
+            "metric": "g1_scalar_mul_proofs_per_s",
+            "value": round(value, 3),
+            "unit": "proofs/s",
+            "vs_baseline": round(value / 100.0, 4),
+            "stages_s": stages,
+        }
     )
+    # the watchdog thread must not fire after the real result is out
+    os._exit(0)
 
 
 if __name__ == "__main__":
