@@ -9,8 +9,7 @@ ops / wall-clock of the steady-state prove (trace generation + full STARK
 prove) after one warmup iteration.  vs_baseline is against the driver
 target of 100 proofs/s (BASELINE.json, v5p-8 target vs this single chip).
 
-Env knobs: BENCH_OPS (ops per proof), BENCH_FAST=1 (tiny run: toy-stark
-pipeline only, for smoke tests), BENCH_DEADLINE_S (watchdog: print the
+Env knobs: BENCH_OPS (ops per proof), BENCH_DEADLINE_S (watchdog: print the
 best measurement obtained so far and exit before an external `timeout`
 would kill the process with nothing on stdout — the round-3 driver run
 died mid-cold-compile with rc 124 and no JSON line).

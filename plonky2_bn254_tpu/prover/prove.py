@@ -687,7 +687,16 @@ def prove(
         (key, "commit_coeffs"),
         lambda: _make_commit_coeffs(rate, config.cap_height, use_pallas),
     )
-    aux_core = _cached((key, "aux"), lambda: _make_aux(stark))
+    # On the real chip the ~24 small aux dispatches each pay a tunnel
+    # launch latency; one fused executable removes that (the CPU path
+    # stays python-composed — fusing the u64 combine producers into the
+    # Fermat-inverse chain triggers XLA-CPU's scalarization pathology).
+    # Values are identical either way (exact mod-p integer arithmetic);
+    # asserted by tests/test_prover_toy.py::test_fused_aux_matches.
+    if use_pallas:
+        aux_core = _cached((key, "aux_fused"), lambda: jax.jit(_make_aux(stark)))
+    else:
+        aux_core = _cached((key, "aux"), lambda: _make_aux(stark))
     quotient_core = _cached(
         (key, "quotient"), lambda: _make_quotient(stark, n_log, config)
     )

@@ -67,3 +67,35 @@ def test_keyed_lookup_roundtrip():
     proof2 = prove_mod.prove(stark, bad, ctl_values, TEST_CONFIG)
     with pytest.raises(verify_mod.VerificationError):
         verify_mod.verify(stark, proof2, ctl_values, TEST_CONFIG)
+
+
+def test_fused_aux_matches():
+    """The TPU-fused aux executable (one jit over the whole LogUp/CTL aux
+    pipeline) must produce bit-identical columns to the python-composed
+    CPU path (prove() picks the fused variant on the real chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(21)
+    stark = toy_stark()
+    trace, _ = toy_trace(rng)
+    trace_cols = jnp.asarray(trace).T
+    betas = jnp.asarray(np.array([3, 5], dtype=np.uint64))
+    gammas = jnp.asarray(np.array([7, 11], dtype=np.uint64))
+    ctl_weight_specs = [
+        [
+            (
+                jnp.asarray(np.array([c for c, _ in ctl.flat_weights(int(b), gl.P)],
+                                     dtype=np.int64)),
+                jnp.asarray(np.array([w for _, w in ctl.flat_weights(int(b), gl.P)],
+                                     dtype=np.uint64)),
+            )
+            for ctl in stark.ctls
+        ]
+        for b in (3, 5)
+    ]
+    aux_plain = prove_mod._make_aux(stark)
+    aux_fused = jax.jit(prove_mod._make_aux(stark))
+    a = np.asarray(aux_plain(trace_cols, betas, gammas, ctl_weight_specs))
+    b = np.asarray(aux_fused(trace_cols, betas, gammas, ctl_weight_specs))
+    np.testing.assert_array_equal(a, b)
