@@ -74,7 +74,10 @@ def _watchdog(deadline_s: float) -> None:
 
 
 def main():
-    deadline = float(os.environ.get("BENCH_DEADLINE_S", "1650"))
+    # Measured cold on the chip (round 4): warmup 1600.6s + verify +
+    # 3.2s steady ≈ 1660s total; the round-2 driver run passed at ~1700s,
+    # so its timeout is ≥ ~1750s.  1700 leaves margin on both sides.
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "1700"))
     threading.Thread(target=_watchdog, args=(deadline,), daemon=True).start()
     import plonky2_bn254_tpu  # noqa: F401
     from plonky2_bn254_tpu.bn254 import oracle
