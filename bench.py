@@ -25,6 +25,14 @@ import time
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Emission is single-shot: the watchdog thread and the main thread race
+# only at the very end (main between its final _emit and os._exit); the
+# lock + done flag guarantee exactly ONE JSON line ever reaches stdout
+# (round-4 advisor finding: an interleaved/duplicate line could make a
+# first-line parser pick the stale warmup-based result).
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
 _cache = pathlib.Path(__file__).resolve().parent / f".jax_cache_{jax.default_backend()}"
 _cache.mkdir(exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache))
@@ -39,9 +47,16 @@ import numpy as np
 _BEST = {"json": None, "phase": "startup", "t0": time.time()}
 
 
-def _emit(obj) -> None:
-    sys.stdout.write(json.dumps(obj) + "\n")
-    sys.stdout.flush()
+def _emit(obj) -> bool:
+    """Write the single result line; returns False if one was already out."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return False
+        _EMITTED = True
+        sys.stdout.write(json.dumps(obj) + "\n")
+        sys.stdout.flush()
+        return True
 
 
 def _watchdog(deadline_s: float) -> None:
@@ -49,27 +64,34 @@ def _watchdog(deadline_s: float) -> None:
     if remaining > 0:
         time.sleep(remaining)
     if _BEST["json"] is not None:
+        # A watchdog-emitted value is NOT a steady-state measurement: it is
+        # derived from the warmup wall (which includes the cold XLA
+        # compile) and understates throughput.  `degraded: true` makes that
+        # machine-detectable (round-4 advisor finding: the driver would
+        # otherwise accept it as a real number).
+        _BEST["json"]["degraded"] = True
         _BEST["json"]["note"] = (
             f"watchdog: deadline {deadline_s:.0f}s hit during phase "
             f"'{_BEST['phase']}'; value is the best measurement completed "
             "so far (warmup wall includes cold XLA compile)"
         )
-        _emit(_BEST["json"])
-        os._exit(0 if _BEST["json"].get("verified") else 3)
-    else:
-        _emit(
-            {
-                "metric": "g1_scalar_mul_proofs_per_s",
-                "value": 0.0,
-                "unit": "proofs/s",
-                "vs_baseline": 0.0,
-                "note": (
-                    f"watchdog: cold start exceeded the {deadline_s:.0f}s "
-                    f"deadline in phase '{_BEST['phase']}' before any proof "
-                    "completed; rerun with a warm .jax_cache to measure"
-                ),
-            }
-        )
+        if _emit(_BEST["json"]):
+            os._exit(0 if _BEST["json"].get("verified") else 3)
+        return  # main already emitted the real result; let it exit
+    _emit(
+        {
+            "metric": "g1_scalar_mul_proofs_per_s",
+            "value": 0.0,
+            "unit": "proofs/s",
+            "vs_baseline": 0.0,
+            "degraded": True,
+            "note": (
+                f"watchdog: cold start exceeded the {deadline_s:.0f}s "
+                f"deadline in phase '{_BEST['phase']}' before any proof "
+                "completed; rerun with a warm .jax_cache to measure"
+            ),
+        }
+    )
     os._exit(3)
 
 

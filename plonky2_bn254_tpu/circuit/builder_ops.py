@@ -211,11 +211,20 @@ def get_bn254_hook(builder: CircuitBuilder) -> Bn254Hook:
 
 
 def fq_exp(builder: CircuitBuilder, s, x: FqTarget) -> FqTarget:
-    """x^s via the batched FqExp STARK; O(1) circuit cost at call time."""
+    """x^s via the batched FqExp STARK; O(1) circuit cost at call time.
+
+    The base is canonicalised (`take_mod`) before recording: the STARK
+    trace holds the REDUCED x (exp_stark.rs feeds canonical values), and
+    the hook's build-time ToU16 resplit requires exactly 8 u32 limbs.
+    The reference never needs this because its FqTarget is always 8 limbs
+    with lazy reduction as a flag (fq.rs:42-44); ours carries extra limbs
+    when unreduced, so e.g. `is_square` on an Fq2-norm product (17 limbs)
+    crashed at build() before this guard (round-4 verdict #1)."""
     if isinstance(s, int):
         s = bu.constant_biguint(builder, s)
         if s.num_limbs < 8:
             s = bu.BigUintTarget(s.limbs + [builder.zero()] * (8 - s.num_limbs))
+    x = x.take_mod(builder)
     out = FqTarget.new_unchecked(builder)
     hook = get_bn254_hook(builder)
     hook.inputs_fq.append((s, x))
@@ -245,6 +254,10 @@ def g1_scalar_mul(
     """s*x + offset via the batched G1 STARK (builder.rs:56-78)."""
     if isinstance(s, int):
         s = bu.constant_biguint(builder, s)
+    # canonicalise coordinates before recording (see fq_exp docstring):
+    # points assembled from gadget algebra can carry unreduced limbs.
+    x = G1Target(x.x.take_mod(builder), x.y.take_mod(builder))
+    offset = G1Target(offset.x.take_mod(builder), offset.y.take_mod(builder))
     out = G1Target.new_unchecked(builder)
     hook = get_bn254_hook(builder)
     hook.inputs_g1.append((s, x, offset))
@@ -278,6 +291,9 @@ def g2_scalar_mul(
     """s*x + offset via the batched G2 STARK (builder.rs:80-103)."""
     if isinstance(s, int):
         s = bu.constant_biguint(builder, s)
+    # canonicalise coordinates before recording (see fq_exp docstring).
+    x = G2Target(x.x.take_mod(builder), x.y.take_mod(builder))
+    offset = G2Target(offset.x.take_mod(builder), offset.y.take_mod(builder))
     out = G2Target.new_unchecked(builder)
     hook = get_bn254_hook(builder)
     hook.inputs_g2.append((s, x, offset))

@@ -69,16 +69,46 @@ def test_keyed_lookup_roundtrip():
         verify_mod.verify(stark, proof2, ctl_values, TEST_CONFIG)
 
 
-def test_fused_aux_matches():
+def _filtered_keyed_stark():
+    """keyed_demo_stark with a per-pair filter column, covering the
+    _aux_combine_keyed + _aux_filter_cols helper path that the outer
+    universal-gate STARK takes on the real chip (round-4 advisor
+    finding: the fused-vs-plain equality previously only exercised the
+    plain-Lookup branch)."""
+    import dataclasses
+
+    from plonky2_bn254_tpu.starks.demo import keyed_demo_stark
+
+    stark = keyed_demo_stark()
+    stark.lookups[0] = dataclasses.replace(stark.lookups[0], filters=(5,))
+    return stark
+
+
+@pytest.mark.parametrize(
+    "mk",
+    [
+        "demo",
+        "keyed",
+        "keyed_filtered",
+    ],
+)
+def test_fused_aux_matches(mk):
     """The TPU-fused aux executable (one jit over the whole LogUp/CTL aux
     pipeline) must produce bit-identical columns to the python-composed
     CPU path (prove() picks the fused variant on the real chip)."""
     import jax
     import jax.numpy as jnp
+    from plonky2_bn254_tpu.starks.demo import keyed_demo_stark, keyed_demo_trace
 
     rng = np.random.default_rng(21)
-    stark = toy_stark()
-    trace, _ = toy_trace(rng)
+    if mk == "demo":
+        stark = toy_stark()
+        trace, _ = toy_trace(rng)
+    else:
+        # fused-vs-plain equality is a pure function-equality check on the
+        # aux pipeline, so the keyed trace serves both keyed variants
+        stark = keyed_demo_stark() if mk == "keyed" else _filtered_keyed_stark()
+        trace, _ = keyed_demo_trace(rng)
     trace_cols = jnp.asarray(trace).T
     betas = jnp.asarray(np.array([3, 5], dtype=np.uint64))
     gammas = jnp.asarray(np.array([7, 11], dtype=np.uint64))
