@@ -168,19 +168,30 @@ def _lde_maybe_pallas(coeffs, rate_bits: int, use_pallas: bool):
     return ntt.coset_lde_from_coeffs(coeffs, rate_bits)
 
 
-def _make_commit(rate_bits: int, cap_height: int, use_pallas: bool = False):
+def _make_commit(rate_bits: int, cap_height: int, use_pallas: bool = False,
+                 mesh_fns=None):
     # NOT fused into one jit: XLA's algebraic simplifier loops pathologically
     # on the large fused graph; the component kernels (intt / coset_lde /
     # hash / per-level compress) are each jitted and cached individually.
+    # `mesh_fns`: optional (intt_fn, lde_fn) pair — the EXPLICIT all-to-all
+    # four-step transforms (parallel/ntt.py) used when the prover runs on a
+    # 1-D mesh, replacing GSPMD's auto-inserted collectives with a known
+    # communication schedule (bit-identical: exact mod-p arithmetic).
     def commit(values, tt=None):
         sync = (lambda x: jax.block_until_ready(x)) if (
             tt is not None and tt.enabled
         ) else (lambda x: x)
         tt = timing_mod.get(tt)
         with tt.scope("intt"):
-            coeffs = sync(_intt_maybe_pallas(values, use_pallas))
+            if mesh_fns is not None:
+                coeffs = sync(mesh_fns[0](values))
+            else:
+                coeffs = sync(_intt_maybe_pallas(values, use_pallas))
         with tt.scope("lde"):
-            lde = sync(_lde_maybe_pallas(coeffs, rate_bits, use_pallas))
+            if mesh_fns is not None:
+                lde = sync(mesh_fns[1](coeffs))
+            else:
+                lde = sync(_lde_maybe_pallas(coeffs, rate_bits, use_pallas))
         n_big = lde.shape[-1]
         perm = jnp.asarray(bit_rev_perm(n_big.bit_length() - 1))
         with tt.scope("merkle"):
@@ -201,9 +212,13 @@ def _gather_t_rows(lde, idx):
     return lde[:, idx].T
 
 
-def _make_commit_coeffs(rate_bits: int, cap_height: int, use_pallas: bool = False):
+def _make_commit_coeffs(rate_bits: int, cap_height: int, use_pallas: bool = False,
+                        mesh_fns=None):
     def commit(coeffs):
-        lde = _lde_maybe_pallas(coeffs, rate_bits, use_pallas)
+        if mesh_fns is not None:
+            lde = mesh_fns[1](coeffs)
+        else:
+            lde = _lde_maybe_pallas(coeffs, rate_bits, use_pallas)
         n_big = lde.shape[-1]
         perm = jnp.asarray(bit_rev_perm(n_big.bit_length() - 1))
         leaves = _gather_t(lde, perm)
@@ -678,14 +693,41 @@ def prove(
     except Exception:
         use_pallas = False
 
-    key = (stark.name, n_log, config, use_pallas)
+    # explicit all-to-all four-step NTT on a 1-D mesh (round-4 verdict 4c):
+    # the iNTT/LDE inside the commits run with a hand-scheduled collective
+    # plan (3 all-to-alls, natural order preserved) instead of GSPMD's
+    # auto-sharded butterflies.  2-D meshes keep the GSPMD path (the
+    # column axis would need its own spec plumbing).
+    mesh_fns = None
+    mesh_token = None
+    if (
+        mesh is not None
+        and col_axis is None
+        and len(mesh.shape) == 1
+        and rate == 1
+        and n % (mesh.shape[mesh_axis] ** 2) == 0
+        and mesh.shape[mesh_axis] > 1
+    ):
+        from ..parallel import ntt as pntt
+
+        mesh_fns = (
+            lambda v: pntt.mesh_intt(v, mesh, mesh_axis),
+            lambda c: pntt.mesh_coset_lde_rate1(c, mesh, mesh_axis),
+        )
+        mesh_token = (
+            tuple(mesh.shape.items()),
+            mesh_axis,
+            tuple(d.id for d in mesh.devices.flat),
+        )
+
+    key = (stark.name, n_log, config, use_pallas, mesh_token)
     commit = _cached(
         (key, "commit"),
-        lambda: _make_commit(rate, config.cap_height, use_pallas),
+        lambda: _make_commit(rate, config.cap_height, use_pallas, mesh_fns),
     )
     commit_c = _cached(
         (key, "commit_coeffs"),
-        lambda: _make_commit_coeffs(rate, config.cap_height, use_pallas),
+        lambda: _make_commit_coeffs(rate, config.cap_height, use_pallas, mesh_fns),
     )
     # On the real chip the ~24 small aux dispatches each pay a tunnel
     # launch latency; one fused executable removes that (the CPU path

@@ -55,8 +55,9 @@ FREQ_COL = LAYOUT.col("frequency")
 RANGE_COUNTER_COL = LAYOUT.col("range_counter")
 
 
-@functools.partial(jax.jit, static_argnames=("unroll",))
-def _chains(x_limbs, y_limbs, ox_limbs, oy_limbs, s_bits, unroll=False):
+@functools.partial(jax.jit, static_argnames=("unroll", "scan_unroll"))
+def _chains(x_limbs, y_limbs, ox_limbs, oy_limbs, s_bits, unroll=False,
+            scan_unroll=1):
     """Stage 1: Jacobian scans + batched affine normalization.
 
     Kept as its own executable — the remote TPU compiler OOMs on the
@@ -72,7 +73,8 @@ def _chains(x_limbs, y_limbs, ox_limbs, oy_limbs, s_bits, unroll=False):
         return jacobian.double(X, Y, Z, unroll=unroll), (X, Y, Z)
 
     last_d, d_jac = jax.lax.scan(
-        d_step, (x_limbs, y_limbs, one_limb), None, length=N_BITS
+        d_step, (x_limbs, y_limbs, one_limb), None, length=N_BITS,
+        unroll=scan_unroll,
     )
     dX = jnp.concatenate([d_jac[0], last_d[0][None]], axis=0)  # [257, n, 16]
     dY = jnp.concatenate([d_jac[1], last_d[1][None]], axis=0)
@@ -94,6 +96,7 @@ def _chains(x_limbs, y_limbs, ox_limbs, oy_limbs, s_bits, unroll=False):
         p_step,
         (ox_limbs, oy_limbs, one_limb),
         (d_ax[:N_BITS], d_ay[:N_BITS], s_bits.T),
+        unroll=scan_unroll,
     )
     pX = jnp.concatenate([p_prev_jac[0][1:], lastX[None]], axis=0)  # p_k
     pY = jnp.concatenate([p_prev_jac[1][1:], lastY[None]], axis=0)

@@ -24,6 +24,32 @@ def test_distributed_ntt_matches_single_device():
     np.testing.assert_array_equal(got, want)
 
 
+def test_mesh_ntt_natural_bit_identity():
+    """The explicit all-to-all four-step transforms (natural order, last
+    axis sharded — the prover's commit layout) are bit-identical to the
+    single-device transforms.  prove() swaps these in for GSPMD's
+    auto-sharded butterflies on a 1-D mesh (round-4 verdict item 4c)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(63)
+    m = cpu_mesh(8)
+    w, N = 4, 1024
+    x_np = rng.integers(0, gl.P, size=(w, N), dtype=np.uint64)
+    x = jax.device_put(jnp.asarray(x_np), NamedSharding(m, P(None, "dp")))
+    np.testing.assert_array_equal(
+        np.asarray(pntt.mesh_ntt(x, m)), np.asarray(ntt_mod.ntt(jnp.asarray(x_np)))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pntt.mesh_intt(x, m)),
+        np.asarray(ntt_mod.intt(jnp.asarray(x_np))),
+    )
+    got = np.asarray(pntt.mesh_coset_lde_rate1(x, m))
+    want = np.asarray(ntt_mod.coset_lde_from_coeffs(jnp.asarray(x_np), 1))
+    np.testing.assert_array_equal(got, want)
+    # outputs keep the natural row sharding (no global reorder)
+    assert len(pntt.mesh_ntt(x, m).sharding.device_set) == 8
+
+
 def test_mesh_prove_matches_single_device():
     """The REAL prover on the 8-device mesh: same proof, bit for bit
     (VERDICT r1 item 3: mesh-proved proof verifies and is bit-identical)."""
