@@ -134,6 +134,53 @@ class DeviceChallenger:
         return c
 
 
+class CountingSponge:
+    """Buffer-count shadow of DeviceChallenger: replays a transcript
+    schedule tracking ONLY (input, output) buffer fill levels — used to
+    derive the static pack/unpack counts at executable boundaries without
+    executing any hashing.  Must mirror DeviceChallenger's buffer logic
+    exactly (asserted by tests/test_device_challenger.py)."""
+
+    def __init__(self, counts=(0, 0)):
+        self.n_in, self.n_out = counts
+
+    def observe_element(self, _x=None):
+        self.n_out = 0
+        self.n_in += 1
+        if self.n_in == RATE:
+            self._duplex()
+
+    def observe_flat(self, n: int):
+        self.n_out = 0
+        fill = min((-self.n_in) % RATE, n)
+        for _ in range(fill):
+            self.observe_element()
+        n_chunks = (n - fill) // RATE
+        if n_chunks > 0:
+            self.n_out = RATE
+        for _ in range(fill + n_chunks * RATE, n):
+            self.observe_element()
+
+    def observe_cap(self, k_digests: int):
+        self.observe_flat(4 * k_digests)
+
+    def get_challenge(self):
+        if self.n_in or not self.n_out:
+            self._duplex()
+        self.n_out -= 1
+
+    def get_n_challenges(self, n: int):
+        for _ in range(n):
+            self.get_challenge()
+
+    def _duplex(self):
+        self.n_in = 0
+        self.n_out = RATE
+
+    def counts(self):
+        return (self.n_in, self.n_out)
+
+
 # ---------------------------------------------------------------------------
 # challenge-derived device tables (host pow chains made traced)
 # ---------------------------------------------------------------------------
@@ -209,6 +256,9 @@ def ctl_totals_device(ctl_rows_padded, row_counts, betas, gammas):
         row = []
         for c, rows in enumerate(ctl_rows_padded):
             n_rows, true_len = row_counts[c]
+            if n_rows == 0:
+                row.append(jnp.uint64(0))
+                continue
             bp = powers_vec(beta_i, true_len)
             acc = gl.add(
                 _mod_dot_rows(rows[:, :true_len], bp), gamma_i

@@ -335,6 +335,164 @@ def prove_fri(values: Ext, n_log: int, config: StarkConfig, challenger,
 
 
 # ---------------------------------------------------------------------------
+# Device-side Fiat-Shamir FRI (remote-chip path; see prove.py fs notes)
+# ---------------------------------------------------------------------------
+
+
+def _make_fri_fsl(A: int, counts_in):
+    """Per-layer transition: absorb cap, squeeze beta, emit beta powers."""
+    from . import device_challenger as dcm
+
+    @jax.jit
+    def fsl(packed, cap):
+        ch = dcm.DeviceChallenger.unpack(packed, counts_in)
+        ch.observe_cap(cap)
+        b0 = ch.get_challenge()
+        b1 = ch.get_challenge()
+        return dcm.ext_powers_rows(b0, b1, A), ch.pack()
+
+    return fsl
+
+
+def _make_fri_fsf(counts_in):
+    """Final-poly absorb (c0, c1 interleaved per coefficient)."""
+    from . import device_challenger as dcm
+
+    @jax.jit
+    def fsf(packed, c0, c1):
+        ch = dcm.DeviceChallenger.unpack(packed, counts_in)
+        ch.observe_flat(jnp.stack([c0, c1], axis=1).reshape(-1))
+        return ch.pack()
+
+    return fsf
+
+
+def _make_fri_fsp(pow_bits: int, big_n: int, n_queries: int, counts_in):
+    """Post-grind transition: absorb nonce, check the PoW bits, squeeze
+    the query indices (mod big_n — a power of two, same as host %)."""
+    from . import device_challenger as dcm
+
+    @jax.jit
+    def fsp(packed, nonce):
+        ch = dcm.DeviceChallenger.unpack(packed, counts_in)
+        ch.observe_element(nonce % jnp.uint64(gl.P))
+        ok = (ch.get_challenge() >> jnp.uint64(64 - pow_bits)) == 0
+        q = jnp.stack(
+            [c % jnp.uint64(big_n) for c in ch.get_n_challenges(n_queries)]
+        )
+        return ok, q.astype(jnp.int64), ch.pack()
+
+    return fsp
+
+
+def pow_grind_device(state_dev, pow_bits: int, use_pallas: bool = False):
+    """pow_grind on a traced sponge state: one `found` pull per batch
+    (first batch hits with overwhelming probability at batch 2^(pow+4))."""
+    batch = 1 << max(pow_bits + 4, 12)
+    grind = _pow_grind_fn(pow_bits, batch, use_pallas)
+    start = 0
+    while True:
+        found, nonce = grind(state_dev, jnp.uint64(start))
+        if bool(found):
+            return nonce  # device scalar
+        start += batch
+
+
+def prove_fri_device(values: Ext, n_log: int, config: StarkConfig,
+                     packed, counts, use_pallas: bool, cached, key,
+                     timing=None):
+    """Device-FS twin of prove_fri: all transcript traffic stays on
+    device; returns device handles for the single end-of-proof pull.
+
+    Returns dict with: caps (list of [k,4] dev), final (c0, c1, n_final),
+    nonce, pow_ok, q_idx, layer_pending (list of (rows, paths) dev),
+    packed_end, counts_end, layers_cfg."""
+    from ..prover import device_challenger as dcm
+    from ..utils import timing as timing_mod
+    from .merkle import _gather_rows_paths_dev, device_tree_levels
+
+    tt = timing_mod.get(timing)
+    layers_cfg, (final_m_log, final_shift, final_deg_bits) = domain_shifts_and_sizes(
+        n_log, config
+    )
+    cnt = dcm.CountingSponge(counts)
+    cur = packed
+    vals = values
+    caps_dev = []
+    layer_leaves = []
+    layer_levels = []
+    with tt.scope("fri commit/fold"):
+        for li, (m_log, shift, a) in enumerate(layers_cfg):
+            cap_h = min(config.cap_height, m_log - a)
+            leaves = _ext_leaves(vals, m_log, a)
+            levels = device_tree_levels(leaves, cap_h, use_pallas)
+            caps_dev.append(levels[-1])
+            layer_leaves.append(leaves)
+            layer_levels.append(levels)
+            A = 1 << a
+            cin = cnt.counts()
+            fsl = cached(
+                (key, "fri_fsl", li, A, cin), lambda A=A, cin=cin: _make_fri_fsl(A, cin)
+            )
+            beta_pows, cur = fsl(cur, caps_dev[-1])
+            cnt.observe_cap(1 << cap_h)
+            cnt.get_n_challenges(2)
+            c0, c1 = _fold_layer_fn(m_log, a, shift)(vals.c0, vals.c1, beta_pows)
+            vals = Ext(c0, c1)
+
+    with tt.scope("fri final poly"):
+        n_final = 1 << final_deg_bits
+        fc0, fc1 = _final_poly_fn(final_m_log, final_shift)(vals.c0, vals.c1)
+        fc0, fc1 = fc0[:n_final], fc1[:n_final]
+        cin = cnt.counts()
+        fsf = cached((key, "fri_fsf", cin), lambda cin=cin: _make_fri_fsf(cin))
+        cur = fsf(cur, fc0, fc1)
+        cnt.observe_flat(2 * n_final)
+
+    # PoW: grind needs an empty input buffer (same assumption as the host
+    # pow_grind, which reads challenger.state directly)
+    assert cnt.counts()[0] == 0, "input buffer not empty at PoW"
+    with tt.scope("fri pow"):
+        # pack layout = state(12) | in_buf(0 here) | out_buf
+        nonce = pow_grind_device(cur[:12], config.proof_of_work_bits, use_pallas)
+    big_n = 1 << (n_log + config.rate_bits)
+    cin = cnt.counts()
+    fsp = cached(
+        (key, "fri_fsp", cin),
+        lambda cin=cin: _make_fri_fsp(
+            config.proof_of_work_bits, big_n, config.num_query_rounds, cin
+        ),
+    )
+    pow_ok, q_idx, cur = fsp(cur, nonce)
+    cnt.observe_element()
+    cnt.get_n_challenges(1 + config.num_query_rounds)
+
+    with tt.scope("fri query gather"):
+        layer_pending = []
+        r = q_idx
+        for li, (m_log, shift, a) in enumerate(layers_cfg):
+            groups = r >> a
+            layer_pending.append(
+                _gather_rows_paths_dev(
+                    layer_leaves[li], layer_levels[li], groups, 0
+                )
+            )
+            r = groups
+
+    return {
+        "caps": caps_dev,
+        "final": (fc0, fc1, n_final),
+        "nonce": nonce,
+        "pow_ok": pow_ok,
+        "q_idx": q_idx,
+        "layer_pending": layer_pending,
+        "packed_end": cur,
+        "counts_end": cnt.counts(),
+        "layers_cfg": layers_cfg,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Host verification helpers
 # ---------------------------------------------------------------------------
 

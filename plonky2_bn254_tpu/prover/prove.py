@@ -602,6 +602,328 @@ def _make_fri_oracle(n_polys: int, N: int):
 
 
 # ---------------------------------------------------------------------------
+# device-side Fiat-Shamir transitions (remote-chip path)
+# ---------------------------------------------------------------------------
+#
+# On the tunnelled chip every host pull costs ~31 ms AND drains the device
+# queue, so the host-challenger flow (pull each cap, absorb on host, pass
+# challenges back in) serializes the prover around ~10 round trips.  These
+# transitions run the SAME duplex schedule on a traced state: challenges
+# never leave the device, the stages chain through the async queue, and
+# the proof is pulled ONCE at the end.  Bit-identical to the host path
+# (tests/test_prover_toy.py::test_device_fs_proof_matches).
+
+
+def _make_fs1(stark, n_log, nc, counts_in, row_meta):
+    from . import device_challenger as dcm
+
+    @jax.jit
+    def fs1(packed, cap, ctl_rows):
+        ch = dcm.DeviceChallenger.unpack(packed, counts_in)
+        ch.observe_element(jnp.uint64(n_log))
+        ch.observe_cap(cap)
+        pairs = [(ch.get_challenge(), ch.get_challenge()) for _ in range(nc)]
+        betas = jnp.stack([b for b, _ in pairs])
+        gammas = jnp.stack([g for _, g in pairs])
+        weights = [dcm.ctl_weights_device(stark, b) for b, _ in pairs]
+        totals = dcm.ctl_totals_device(ctl_rows, row_meta, betas, gammas)
+        return betas, gammas, weights, totals, ch.pack()
+
+    return fs1
+
+
+def _make_fs2(nc, counts_in):
+    from . import device_challenger as dcm
+
+    @jax.jit
+    def fs2(packed, cap):
+        ch = dcm.DeviceChallenger.unpack(packed, counts_in)
+        ch.observe_cap(cap)
+        alphas = jnp.stack(ch.get_n_challenges(nc))
+        apows = jnp.stack([dcm.powers_vec(alphas[i], 513) for i in range(nc)])
+        return alphas, apows, ch.pack()
+
+    return fs2
+
+
+def _make_fs3(counts_in):
+    from . import device_challenger as dcm
+
+    @jax.jit
+    def fs3(packed, cap):
+        ch = dcm.DeviceChallenger.unpack(packed, counts_in)
+        ch.observe_cap(cap)
+        z0 = ch.get_challenge()
+        z1 = ch.get_challenge()
+        return z0, z1, ch.pack()
+
+    return fs3
+
+
+def _make_fs4(n_polys, counts_in):
+    from . import device_challenger as dcm
+
+    @jax.jit
+    def fs4(packed, opens):
+        """opens: list of 6 (r0 [k], r1 [k]) open batches in transcript
+        order (trace_z, trace_zg, aux_z, aux_zg, q_z, q_zg)."""
+        ch = dcm.DeviceChallenger.unpack(packed, counts_in)
+        for r0, r1 in opens:
+            flat = jnp.stack([r0, r1], axis=1).reshape(-1)
+            ch.observe_flat(flat)
+        fa0 = ch.get_challenge()
+        fa1 = ch.get_challenge()
+        apow = dcm.ext_powers_rows(fa0, fa1, n_polys + 1)
+
+        # S = sum_i v_i alpha^i over the zeta / zeta*g opening vectors
+        def horner(vals_list):
+            # ext openings v, ext alpha powers a: S = sum v_i * a^i
+            v0 = jnp.concatenate([r0 for r0, _ in vals_list])
+            v1 = jnp.concatenate([r1 for _, r1 in vals_list])
+            a0 = apow[:n_polys, 0]
+            a1 = apow[:n_polys, 1]
+            s0 = dcm._sum_mod(
+                gl.add(gl.mul(v0, a0), gl.mul_const(gl.mul(v1, a1), 7))
+            )
+            s1 = dcm._sum_mod(gl.add(gl.mul(v0, a1), gl.mul(v1, a0)))
+            return s0, s1
+
+        sz = horner(opens[0::2])
+        szg = horner(opens[1::2])
+        alpha_off = apow[n_polys]
+        return (
+            jnp.stack([fa0, fa1]),
+            apow[:n_polys],
+            jnp.stack(sz),
+            jnp.stack(szg),
+            alpha_off,
+            ch.pack(),
+        )
+
+    return fs4
+
+
+def _prove_device_fs_impl(stark, trace_cols, ctl_values, config, tt, key,
+                          commit, commit_c, aux_core, quotient_core,
+                          openings_core, n_log, use_pallas):
+    """prove() body with the transcript on device: no host pull until the
+    single end-of-proof device_get.  Bit-identical to the host-challenger
+    flow (same duplex schedule, exact mod-p arithmetic)."""
+    from . import device_challenger as dcm
+    from .merkle import _gather_paths_dev
+
+    n = 1 << n_log
+    rate = config.rate_bits
+    N = n << rate
+    nc = config.num_challenges
+    n_ctls = len(stark.ctls)
+
+    # CTL value rows to device once (the statement side of the totals)
+    ctl_rows = []
+    row_meta = []
+    for c_idx in range(n_ctls):
+        rows = ctl_values[c_idx]
+        if len(rows) == 0:
+            ctl_rows.append(jnp.zeros((1, 1), jnp.uint64))
+            row_meta.append((0, 1))
+        else:
+            arr = np.array(rows, dtype=np.uint64)
+            ctl_rows.append(jnp.asarray(arr))
+            row_meta.append(arr.shape)
+    row_meta = tuple(tuple(m) for m in row_meta)
+
+    # ---- S1: trace commit + fs1 -----------------------------------------
+    with tt.scope("trace commit"):
+        t_coeffs, t_lde, t_levels = commit(trace_cols, tt)
+    trace_cap_dev = t_levels[-1]
+
+    cnt = dcm.CountingSponge()
+    packed = jnp.zeros((12,), jnp.uint64)
+    fs1 = _cached(
+        (key, "fs1", row_meta),
+        lambda: _make_fs1(stark, n_log, nc, cnt.counts(), row_meta),
+    )
+    betas, gammas, weights_dev, totals_dev, packed = fs1(
+        packed, trace_cap_dev, ctl_rows
+    )
+    cnt.observe_element()
+    cnt.observe_cap(1 << config.cap_height)
+    cnt.get_n_challenges(2 * nc)
+
+    ctl_static = [
+        jnp.asarray(
+            np.array([c for c, _ in ctl.flat_weights(1, gl.P)], dtype=np.int64)
+        )
+        for ctl in stark.ctls
+    ]
+    ctl_weight_specs = [
+        [(ctl_static[c], weights_dev[i][c]) for c in range(n_ctls)]
+        for i in range(nc)
+    ]
+
+    # ---- S2: aux + commit + fs2 -------------------------------------
+    with tt.scope("aux"):
+        aux_cols = aux_core(trace_cols, betas, gammas, ctl_weight_specs)
+        a_coeffs, a_lde, a_levels = commit(aux_cols)
+    del aux_cols, trace_cols  # queries read the LDEs, not the values
+    aux_cap_dev = a_levels[-1]
+    fs2 = _cached(
+        (key, "fs2", cnt.counts()),
+        lambda c=cnt.counts(): _make_fs2(nc, c),
+    )
+    alphas, alpha_pows, packed = fs2(packed, aux_cap_dev)
+    cnt.observe_cap(1 << config.cap_height)
+    cnt.get_n_challenges(nc)
+
+    # ---- S3: quotient + commit + fs3 --------------------------------
+    with tt.scope("quotient"):
+        wspecs = [[w for (_, w) in per] for per in ctl_weight_specs]
+        q_chunks = quotient_core(
+            t_lde, a_lde, alphas, alpha_pows, betas, gammas, totals_dev, wspecs
+        )
+        q_lde, q_levels = commit_c(q_chunks)
+    q_cap_dev = q_levels[-1]
+    fs3 = _cached(
+        (key, "fs3", cnt.counts()), lambda c=cnt.counts(): _make_fs3(c)
+    )
+    z0, z1, packed = fs3(packed, q_cap_dev)
+    cnt.observe_cap(1 << config.cap_height)
+    cnt.get_n_challenges(2)
+
+    g = gl.primitive_root_of_unity(n_log)
+    zg0 = gl.mul_const(z0, g)
+    zg1 = gl.mul_const(z1, g)
+
+    # ---- S4: openings + fs4 ------------------------------------------
+    with tt.scope("openings"):
+        opens = [
+            openings_core(coeffs, a, b)
+            for coeffs in (t_coeffs, a_coeffs, q_chunks)
+            for (a, b) in ((z0, z1), (zg0, zg1))
+        ]
+    del t_coeffs, a_coeffs  # openings dispatched; only LDEs queried below
+    n_polys = sum(int(r0.shape[0]) for r0, _ in opens[0::2])
+    fs4 = _cached(
+        (key, "fs4", cnt.counts()),
+        lambda c=cnt.counts(): _make_fs4(n_polys, c),
+    )
+    fri_alpha2, apow_rows, s_z, s_zg, alpha_off2, packed = fs4(packed, opens)
+    for r0, _ in opens:
+        cnt.observe_flat(2 * int(r0.shape[0]))
+    cnt.get_n_challenges(2)
+
+    # ---- S5: FRI oracle + device-FS FRI -------------------------------
+    fri_oracle = _cached((key, "fri_oracle"), lambda: _make_fri_oracle(n_polys, N))
+    with tt.scope("fri oracle"):
+        F0, F1 = fri_oracle(
+            [t_lde, a_lde, q_lde],
+            apow_rows,
+            s_z,
+            s_zg,
+            jnp.stack([z0, z1]),
+            jnp.stack([zg0, zg1]),
+            alpha_off2,
+        )
+        F = Ext(F0, F1)
+
+    with tt.scope("fri"):
+        res = fri_mod.prove_fri_device(
+            F, n_log, config, packed, cnt.counts(), use_pallas, _cached, key,
+            timing=tt,
+        )
+
+    # initial-tree query gathers driven by the device indices
+    with tt.scope("query extraction"):
+        big_perm = jnp.asarray(bit_rev_perm(n_log + rate))
+        nat_dev = big_perm[res["q_idx"]]
+        init_pending = [
+            (_gather_t_rows(lde, nat_dev), _gather_paths_dev(levels, res["q_idx"]))
+            for lde, levels in (
+                (t_lde, t_levels),
+                (a_lde, a_levels),
+                (q_lde, q_levels),
+            )
+        ]
+
+    # ---- the ONE host pull -------------------------------------------
+    with tt.scope("final pull"):
+        pulled = jax.device_get(
+            {
+                "trace_cap": trace_cap_dev,
+                "aux_cap": aux_cap_dev,
+                "q_cap": q_cap_dev,
+                "opens": opens,
+                "fri_caps": res["caps"],
+                "final": (res["final"][0], res["final"][1]),
+                "nonce": res["nonce"],
+                "pow_ok": res["pow_ok"],
+                "q_idx": res["q_idx"],
+                "init": init_pending,
+                "layers": res["layer_pending"],
+            }
+        )
+    assert bool(pulled["pow_ok"]), "device PoW check failed"
+
+    def mk(r):
+        r0, r1 = r
+        return [GLExt(int(a), int(b)) for a, b in zip(r0, r1)]
+
+    o = pulled["opens"]
+    openings = Openings(
+        trace_zeta=mk(o[0]),
+        trace_zeta_g=mk(o[1]),
+        aux_zeta=mk(o[2]),
+        aux_zeta_g=mk(o[3]),
+        quotient_zeta=mk(o[4]),
+        quotient_zeta_g=mk(o[5]),
+    )
+
+    fc0, fc1 = pulled["final"]
+    n_final = res["final"][2]
+    final_coeffs = [GLExt(int(fc0[i]), int(fc1[i])) for i in range(n_final)]
+    query_indices = [int(v) for v in pulled["q_idx"]]
+
+    query_initials = [[] for _ in query_indices]
+    for rows, paths in pulled["init"]:
+        rows = np.asarray(rows)
+        for qi in range(len(query_indices)):
+            query_initials[qi].append(
+                (rows[qi], [np.asarray(lvl)[qi] for lvl in paths])
+            )
+
+    fri_query_layers = []
+    layer_rows = [np.asarray(rows) for rows, _ in pulled["layers"]]
+    layer_paths = [[np.asarray(p) for p in paths] for _, paths in pulled["layers"]]
+    for qi in range(len(query_indices)):
+        layer_proofs = []
+        for li, (m_log, shift, a) in enumerate(res["layers_cfg"]):
+            A = 1 << a
+            row = layer_rows[li][qi].reshape(A, 2)
+            path = [lvl[qi] for lvl in layer_paths[li]]
+            layer_proofs.append(
+                fri_mod.FriLayerProof(group_values=row, path=path)
+            )
+        fri_query_layers.append(layer_proofs)
+
+    return Proof(
+        degree_bits=n_log,
+        trace_cap=np.asarray(pulled["trace_cap"]),
+        aux_cap=np.asarray(pulled["aux_cap"]),
+        quotient_cap=np.asarray(pulled["q_cap"]),
+        openings=openings,
+        fri=fri_mod.FriProof(
+            layer_caps=[np.asarray(c) for c in pulled["fri_caps"]],
+            final_coeffs=final_coeffs,
+            pow_nonce=int(pulled["nonce"]),
+            queries=None,
+        ),
+        query_indices=query_indices,
+        query_initials=query_initials,
+        fri_query_layers=fri_query_layers,
+    )
+
+
+# ---------------------------------------------------------------------------
 # proof container
 # ---------------------------------------------------------------------------
 
@@ -650,6 +972,7 @@ def prove(
     mesh=None,
     mesh_axis: str = "tp",
     col_axis: str = None,
+    device_fs: bool = None,
 ) -> Proof:
     """When `mesh` is given, the evaluation-point (row) axis of the
     polynomial batch is sharded over it and every jitted stage runs SPMD —
@@ -743,6 +1066,19 @@ def prove(
         (key, "quotient"), lambda: _make_quotient(stark, n_log, config)
     )
     openings_core = _cached((key, "open"), lambda: _make_openings(n))
+
+    # device-side Fiat-Shamir: default ON for the real chip (each host
+    # pull costs a ~31 ms tunnel round trip and drains the device queue);
+    # the host-challenger flow remains for CPU/mesh runs.  Proofs are
+    # bit-identical either way (test_prover_toy.py::test_device_fs_*).
+    if device_fs is None:
+        device_fs = use_pallas
+    if device_fs:
+        return _prove_device_fs_impl(
+            stark, trace_cols, ctl_values, config, tt, key,
+            commit, commit_c, aux_core, quotient_core, openings_core,
+            n_log, use_pallas,
+        )
 
     # ---- S1: trace commit ---------------------------------------------
     # Merkle levels STAY on device; only the cap is pulled.  Query rows

@@ -53,6 +53,30 @@ def test_device_challenger_matches_host():
         assert got == want
 
 
+def test_counting_sponge_matches():
+    """The buffer-count shadow must track the real device challenger's
+    pack counts through arbitrary schedules."""
+    for trial in range(4):
+        dev = dc.DeviceChallenger()
+        cnt = dc.CountingSponge()
+        for step in range(30):
+            kind = RNG.integers(0, 3)
+            if kind == 0:
+                x = jnp.uint64(int(RNG.integers(0, gl.P, dtype=np.uint64)))
+                dev.observe_element(x)
+                cnt.observe_element()
+            elif kind == 1:
+                n = int(RNG.integers(0, 30))
+                xs = RNG.integers(0, gl.P, size=n, dtype=np.uint64)
+                dev.observe_flat(jnp.asarray(xs))
+                cnt.observe_flat(n)
+            else:
+                k = int(RNG.integers(1, 4))
+                dev.get_n_challenges(k)
+                cnt.get_n_challenges(k)
+            assert dev.counts() == cnt.counts(), (trial, step, kind)
+
+
 def test_powers_and_ext_powers():
     b = int(RNG.integers(1, gl.P, dtype=np.uint64))
     got = np.asarray(dc.powers_vec(jnp.uint64(b), 20))

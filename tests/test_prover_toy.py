@@ -69,6 +69,47 @@ def test_keyed_lookup_roundtrip():
         verify_mod.verify(stark, proof2, ctl_values, TEST_CONFIG)
 
 
+def test_device_fs_proof_matches():
+    """The on-device Fiat-Shamir prover path (single end-of-proof pull,
+    challenges never leave the device — the real-chip default) must
+    produce a BIT-IDENTICAL proof to the host-challenger flow."""
+    stark = toy_stark()
+    trace, ctl_values = toy_trace(np.random.default_rng(31))
+    host_proof = prove_mod.prove(stark, trace, ctl_values, TEST_CONFIG)
+    dev_proof = prove_mod.prove(
+        stark, trace, ctl_values, TEST_CONFIG, device_fs=True
+    )
+    verify_mod.verify(stark, dev_proof, ctl_values, TEST_CONFIG)
+
+    np.testing.assert_array_equal(host_proof.trace_cap, dev_proof.trace_cap)
+    np.testing.assert_array_equal(host_proof.aux_cap, dev_proof.aux_cap)
+    np.testing.assert_array_equal(
+        host_proof.quotient_cap, dev_proof.quotient_cap
+    )
+    for (a, ag), (b, bg) in zip(
+        host_proof.openings.all_polys_order(), dev_proof.openings.all_polys_order()
+    ):
+        assert [(v.c0, v.c1) for v in a] == [(v.c0, v.c1) for v in b]
+        assert [(v.c0, v.c1) for v in ag] == [(v.c0, v.c1) for v in bg]
+    for ca, cb in zip(host_proof.fri.layer_caps, dev_proof.fri.layer_caps):
+        np.testing.assert_array_equal(ca, cb)
+    assert [(c.c0, c.c1) for c in host_proof.fri.final_coeffs] == [
+        (c.c0, c.c1) for c in dev_proof.fri.final_coeffs
+    ]
+    assert host_proof.fri.pow_nonce == dev_proof.fri.pow_nonce
+    assert host_proof.query_indices == dev_proof.query_indices
+    for qa, qb in zip(host_proof.query_initials, dev_proof.query_initials):
+        for (ra, pa), (rb, pb) in zip(qa, qb):
+            np.testing.assert_array_equal(ra, rb)
+            for la, lb in zip(pa, pb):
+                np.testing.assert_array_equal(la, lb)
+    for qa, qb in zip(host_proof.fri_query_layers, dev_proof.fri_query_layers):
+        for la, lb in zip(qa, qb):
+            np.testing.assert_array_equal(la.group_values, lb.group_values)
+            for pa, pb in zip(la.path, lb.path):
+                np.testing.assert_array_equal(pa, pb)
+
+
 def _filtered_keyed_stark():
     """keyed_demo_stark with a per-pair filter column, covering the
     _aux_combine_keyed + _aux_filter_cols helper path that the outer
