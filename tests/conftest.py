@@ -11,9 +11,16 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate" not in flags:
+    # 8 virtual device threads on ~4 cores: big per-shard kernels skew past
+    # XLA-CPU's default 20s/40s collective rendezvous timers, which ABORT
+    # the test process.  Emulation is oversubscribed, not hung — widen.
+    flags += (
+        " --xla_cpu_collective_timeout_seconds=1200"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
