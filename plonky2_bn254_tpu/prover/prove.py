@@ -1023,6 +1023,24 @@ def prove(
     # column axis would need its own spec plumbing).
     mesh_fns = None
     mesh_token = None
+    _explicit_ok = True
+    if mesh is not None and len(mesh.shape) == 1:
+        try:
+            _is_cpu_mesh = all(
+                d.platform == "cpu" for d in mesh.devices.flat
+            )
+        except Exception:
+            _is_cpu_mesh = False
+        if _is_cpu_mesh:
+            import os as _os
+
+            # On the forced-host CPU emulation, more device threads than
+            # physical cores deadlocks the shard_map all-to-all rendezvous
+            # against the shared intra-op pool once the per-shard kernels
+            # get large (observed at 8 virtual shards on 4 cores with the
+            # production machine).  Oversubscribed CPU meshes keep the
+            # GSPMD auto-sharded path, which tolerates it (slowly).
+            _explicit_ok = mesh.shape[mesh_axis] <= (_os.cpu_count() or 1)
     if (
         mesh is not None
         and col_axis is None
@@ -1030,6 +1048,7 @@ def prove(
         and rate == 1
         and n % (mesh.shape[mesh_axis] ** 2) == 0
         and mesh.shape[mesh_axis] > 1
+        and _explicit_ok
     ):
         from ..parallel import ntt as pntt
 
