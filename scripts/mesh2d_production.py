@@ -34,6 +34,9 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# The axon TPU plugin IGNORES JAX_PLATFORMS=cpu (conftest note); pin the
+# default device so nothing lands on the tunnel from this script.
+jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
 _cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache_cpu"
 _cache.mkdir(exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache))
